@@ -1,0 +1,102 @@
+"""Minimal vectorized WKB codec (little-endian Point / Polygon).
+
+The reference keeps geometries as shapely objects in GeoDataFrames
+(delineation_pipeline.py:64, get_polygons.py:165); our engine carries them as
+WKB bytes in BinaryType columns (SURVEY.md §1.2) and decodes to numpy arrays
+only inside Arrow batches.
+
+Supported geometry types: Point (1), Polygon (3), single exterior ring only —
+the reference's crowns are simple polygons after its Multi→single explosion
+(delineation_utils.py:93-104); interior rings never occur in its pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_LE = 1  # little-endian byte-order marker
+_POINT = 1
+_POLYGON = 3
+
+_PT_HEADER = struct.pack("<bI", _LE, _POINT)
+
+
+def encode_point(x: float, y: float) -> bytes:
+    return _PT_HEADER + struct.pack("<dd", x, y)
+
+
+def encode_points(xs: np.ndarray, ys: np.ndarray) -> list[bytes]:
+    """Vectorized Point encoding: one contiguous buffer, sliced per row."""
+    n = len(xs)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0] = _LE
+    buf[:, 1:5] = np.frombuffer(struct.pack("<I", _POINT), dtype=np.uint8)
+    buf[:, 5:13] = np.asarray(xs, dtype="<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = np.asarray(ys, dtype="<f8").view(np.uint8).reshape(n, 8)
+    raw = buf.tobytes()
+    return [raw[i * 21 : (i + 1) * 21] for i in range(n)]
+
+
+def decode_points(wkbs) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a sequence of WKB Points → (x, y) float64 arrays.
+
+    Fast path: every buffer is the fixed 21-byte LE Point layout, so the whole
+    column decodes as one reshaped view.
+    """
+    joined = b"".join(wkbs)
+    n = len(wkbs)
+    if len(joined) != 21 * n:
+        raise ValueError("non-uniform WKB point buffers")
+    arr = np.frombuffer(joined, dtype=np.uint8).reshape(n, 21)
+    if not (arr[:, 0] == _LE).all():
+        raise ValueError("big-endian WKB not supported")
+    xs = arr[:, 5:13].copy().view("<f8").ravel()
+    ys = arr[:, 13:21].copy().view("<f8").ravel()
+    return xs, ys
+
+
+def encode_polygon(coords: np.ndarray) -> bytes:
+    """Encode an exterior ring (k,2) float array → WKB Polygon.
+
+    The ring is closed automatically if the first vertex isn't repeated.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    if not np.array_equal(coords[0], coords[-1]):
+        coords = np.vstack([coords, coords[:1]])
+    header = struct.pack("<bIII", _LE, _POLYGON, 1, len(coords))
+    return header + coords.astype("<f8").tobytes()
+
+
+def decode_polygon(wkb: bytes) -> np.ndarray:
+    """Decode WKB Polygon → exterior ring (k,2) float64 (closing vertex kept)."""
+    byte_order, gtype = struct.unpack_from("<bI", wkb, 0)
+    if byte_order != _LE:
+        raise ValueError("big-endian WKB not supported")
+    if gtype != _POLYGON:
+        raise ValueError(f"expected Polygon(3), got {gtype}")
+    (nrings,) = struct.unpack_from("<I", wkb, 5)
+    if nrings < 1:
+        return np.empty((0, 2))
+    (npts,) = struct.unpack_from("<I", wkb, 9)
+    ring = np.frombuffer(wkb, dtype="<f8", count=npts * 2, offset=13)
+    return ring.reshape(npts, 2).astype(np.float64)
+
+
+def decode_polygons(wkbs) -> list[np.ndarray]:
+    return [decode_polygon(w) for w in wkbs]
+
+
+def polygon_bounds(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(xmin, ymin, xmax, ymax) arrays for a column of WKB Polygons."""
+    n = len(wkbs)
+    xmin = np.empty(n)
+    ymin = np.empty(n)
+    xmax = np.empty(n)
+    ymax = np.empty(n)
+    for i, w in enumerate(wkbs):
+        ring = decode_polygon(w)
+        xmin[i], ymin[i] = ring.min(axis=0)
+        xmax[i], ymax[i] = ring.max(axis=0)
+    return xmin, ymin, xmax, ymax

@@ -1,0 +1,141 @@
+"""Unit tests for the pure-numpy geometry layer (WKB, cells, kernels)."""
+
+import numpy as np
+import pytest
+
+from geotreehealth_spark.geo import (
+    cell_encode,
+    cell_ring,
+    cells_covering_bbox,
+    convex_clip_area,
+    decode_points,
+    decode_polygon,
+    encode_point,
+    encode_points,
+    encode_polygon,
+    points_in_polygon,
+    polygon_area,
+    polygon_bounds,
+    polygon_centroid,
+    polygon_iou,
+    polygon_overlap_ratio,
+)
+from geotreehealth_spark.geo.cells import cell_decode, morton_interleave
+
+
+def square(x0, y0, s):
+    return np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]], float)
+
+
+class TestWkb:
+    def test_point_roundtrip(self):
+        xs = np.array([0.0, 1.5, -3.25, 1e6])
+        ys = np.array([2.0, -0.5, 7.125, -1e6])
+        wkbs = encode_points(xs, ys)
+        assert wkbs[0] == encode_point(0.0, 2.0)
+        dx, dy = decode_points(wkbs)
+        np.testing.assert_array_equal(dx, xs)
+        np.testing.assert_array_equal(dy, ys)
+
+    def test_polygon_roundtrip(self):
+        ring = square(10, 20, 5)
+        wkb = encode_polygon(ring[:-1])  # auto-close
+        out = decode_polygon(wkb)
+        np.testing.assert_array_equal(out, ring)
+
+    def test_polygon_bounds(self):
+        wkbs = [encode_polygon(square(0, 0, 2)), encode_polygon(square(5, 7, 3))]
+        xmin, ymin, xmax, ymax = polygon_bounds(wkbs)
+        np.testing.assert_array_equal(xmin, [0, 5])
+        np.testing.assert_array_equal(ymax, [2, 10])
+
+
+class TestCells:
+    def test_morton_known_values(self):
+        assert morton_interleave(np.array([0]), np.array([0]))[0] == 0
+        assert morton_interleave(np.array([1]), np.array([0]))[0] == 1
+        assert morton_interleave(np.array([0]), np.array([1]))[0] == 2
+        assert morton_interleave(np.array([3]), np.array([5]))[0] == 0b100111
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(42)
+        ix = rng.integers(0, 1 << 20, 1000)
+        iy = rng.integers(0, 1 << 20, 1000)
+        code = morton_interleave(ix, iy)
+        ox, oy = cell_decode(code)
+        np.testing.assert_array_equal(ox, ix)
+        np.testing.assert_array_equal(oy, iy)
+
+    def test_cell_encode_locality(self):
+        # points in same 50m cell share an id; neighbors differ
+        ids = cell_encode(np.array([10.0, 49.0, 51.0]), np.array([10.0, 10.0, 10.0]), 50.0)
+        assert ids[0] == ids[1] != ids[2]
+
+    def test_ring(self):
+        c = cell_encode(np.array([75.0]), np.array([75.0]), 50.0)  # cell (1,1)
+        ring = cell_ring(c, 1)[0]
+        assert len(ring) == 9
+        assert (ring >= 0).all()
+        # contains self and (0,0)
+        assert c[0] in ring
+        assert 0 in ring
+        # corner cell (0,0): 4 valid of 9
+        c0 = cell_encode(np.array([10.0]), np.array([10.0]), 50.0)
+        r0 = cell_ring(c0, 1)[0]
+        assert (r0 == -1).sum() == 5
+
+    def test_covering_bbox(self):
+        rows, cells = cells_covering_bbox(
+            np.array([10.0, 140.0]), np.array([10.0, 10.0]),
+            np.array([60.0, 160.0]), np.array([60.0, 40.0]), 50.0,
+        )
+        # bbox0 spans cells (0..1, 0..1) = 4 cells; bbox1 spans (2..3, 0) = 2
+        assert (rows == 0).sum() == 4
+        assert (rows == 1).sum() == 2
+        # point inside bbox0 falls in one of its covering cells
+        pid = cell_encode(np.array([55.0]), np.array([15.0]), 50.0)[0]
+        assert pid in cells[rows == 0]
+
+
+class TestKernels:
+    def test_area_centroid(self):
+        sq = square(0, 0, 10)
+        assert polygon_area(sq) == pytest.approx(100.0)
+        assert polygon_centroid(sq) == pytest.approx((5.0, 5.0))
+        tri = np.array([[0, 0], [4, 0], [0, 3], [0, 0]], float)
+        assert polygon_area(tri) == pytest.approx(6.0)
+        assert polygon_centroid(tri) == pytest.approx((4 / 3, 1.0))
+
+    def test_pip(self):
+        sq = square(0, 0, 10)
+        px = np.array([5.0, -1.0, 15.0, 9.999, 5.0])
+        py = np.array([5.0, 5.0, 5.0, 0.001, 10.5])
+        res = points_in_polygon(px, py, sq)
+        np.testing.assert_array_equal(res, [True, False, False, True, False])
+
+    def test_pip_concave(self):
+        # L-shape: point in the notch must be excluded
+        ring = np.array([[0, 0], [4, 0], [4, 4], [2, 4], [2, 2], [0, 2], [0, 0]], float)
+        res = points_in_polygon(np.array([1.0, 3.0, 3.0]), np.array([1.0, 3.0, 1.0]), ring)
+        np.testing.assert_array_equal(res, [True, True, True])
+        res2 = points_in_polygon(np.array([1.0]), np.array([3.0]), ring)  # notch
+        np.testing.assert_array_equal(res2, [False])
+
+    def test_clip_area(self):
+        a, b = square(0, 0, 10), square(5, 5, 10)
+        assert convex_clip_area(a, b) == pytest.approx(25.0)
+        assert convex_clip_area(a, square(20, 20, 5)) == 0.0
+        assert convex_clip_area(a, a) == pytest.approx(100.0)
+        # winding-insensitive
+        assert convex_clip_area(a[::-1], b) == pytest.approx(25.0)
+        assert convex_clip_area(a, b[::-1]) == pytest.approx(25.0)
+
+    def test_iou_and_overlap_ratio(self):
+        a, b = square(0, 0, 10), square(5, 5, 10)
+        assert polygon_iou(a, b) == pytest.approx(25.0 / 175.0)
+        assert polygon_overlap_ratio(a, b) == pytest.approx(0.25)
+        # reference golden case analog: mask square area check
+        # (tests/get_polygons_tests.py:13-33 — 50x50 square → area 2500)
+        m = square(0, 0, 50)
+        assert polygon_area(m) == pytest.approx(2500.0)
+        assert points_in_polygon(np.array([25.0]), np.array([25.0]), m)[0]
