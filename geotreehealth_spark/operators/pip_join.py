@@ -1,0 +1,112 @@
+"""Filter-refine point-in-polygon joins (SURVEY.md J3/J4).
+
+Reference semantics:
+- J3: ``gpd.sjoin(polys, points, predicate='contains')`` — polygon contains
+  point (tree_delineation/delineation_utils.py:437).
+- J4: ``assign_polygon_to_crown`` — among the stems a crown contains, pick the
+  one with min distance to the crown *centroid*; tie-break deterministic
+  (tree_health_detection/utils.py:310-339; the reference relies on argsort
+  stability, we pin (dist, stem id) total order — SURVEY.md §7 hazard 2).
+
+Physical plan (scale rationale):
+- Polygons explode to their bbox-covering Morton cells (small fan-out:
+  bbox ≤ a few cells at a well-chosen resolution) — this is the distributed
+  replacement for the reference's R-tree (get_polygons.py:806-812).
+- Points carry a single cell_id → the spatial join becomes a shuffle equi-join
+  on cell_id that AQE can skew-split (dense forest cells, north_rule).
+- Exact PIP runs as a vectorized Arrow-batch refine on the joined candidates;
+  each (point, polygon) candidate pair exists exactly once (a point lies in
+  exactly one cell), so no post-dedup is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geotreehealth_spark.operators.udfs import (
+    make_cell_encode_udf,
+    make_covering_cells_udf,
+    pip_udf,
+)
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_size: float = 50.0,
+    point_x: str = "x",
+    point_y: str = "y",
+    poly_wkb: str | None = "geometry_wkb",
+    poly_bounds: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+) -> DataFrame:
+    """Inner join of points with the polygons containing them.
+
+    ``polygons`` must carry bbox columns (poly_bounds). If ``poly_wkb`` is
+    None the polygon is its bbox (axis-aligned, half-open [min, max) exactly
+    like the ray-cast kernel's edge rule) and the refine is a pure Catalyst
+    range predicate — no Python at all.
+    Returns points columns + polygon columns of all containing polygons.
+    """
+    bx0, by0, bx1, by1 = poly_bounds
+    cell_pts = make_cell_encode_udf(cell_size)
+    cover = make_covering_cells_udf(cell_size)
+
+    pts = points.withColumn("__cell", cell_pts(F.col(point_x), F.col(point_y)))
+    polys = polygons.withColumn(
+        "__cell", F.explode(cover(F.col(bx0), F.col(by0), F.col(bx1), F.col(by1)))
+    )
+
+    joined = pts.join(polys, "__cell").drop("__cell")
+    # coarse bbox refine first — pure Catalyst, prunes before the UDF runs
+    joined = joined.where(
+        (F.col(point_x) >= F.col(bx0))
+        & (F.col(point_x) < F.col(bx1))
+        & (F.col(point_y) >= F.col(by0))
+        & (F.col(point_y) < F.col(by1))
+    )
+    if poly_wkb is not None:
+        joined = joined.where(pip_udf(F.col(poly_wkb), F.col(point_x), F.col(point_y)))
+    return joined
+
+
+def pip_assign_best(
+    points: DataFrame,
+    polygons: DataFrame,
+    poly_id: str,
+    point_id: str,
+    center: tuple[str, str] = ("cx", "cy"),
+    cell_size: float = 50.0,
+    point_x: str = "x",
+    point_y: str = "y",
+    poly_wkb: str | None = "geometry_wkb",
+    poly_bounds: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    dist_col: str = "dist",
+) -> DataFrame:
+    """J4: per polygon, the single contained point nearest the polygon center.
+
+    Reproduces assign_polygon_to_crown's selection semantics
+    (tree_health_detection/utils.py:317: distance to crown centroid), with the
+    deterministic tie-break (dist, point_id).
+    """
+    from pyspark.sql.window import Window
+
+    cands = pip_join(
+        points, polygons, cell_size, point_x, point_y, poly_wkb, poly_bounds
+    ).withColumn(
+        dist_col,
+        distance_expr(F.col(point_x), F.col(point_y), F.col(center[0]), F.col(center[1])),
+    )
+    w = Window.partitionBy(poly_id).orderBy(F.col(dist_col).asc(), F.col(point_id).asc())
+    return cands.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def distance_expr(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Euclidean distance as a pure Catalyst expression (get_polygons.py:328).
+
+    Written as sqrt(dx*dx + dy*dy) — NOT pow(dx, 2) — so the arithmetic is
+    bit-identical across engines (Math.pow is not guaranteed to equal x*x).
+    """
+    dx = x1 - x2
+    dy = y1 - y2
+    return F.sqrt(dx * dx + dy * dy)
