@@ -1,0 +1,164 @@
+"""Deterministic interleaved-docs generator (FIXTURES.md §1 span conventions).
+
+Builds the docs table FROM the synth-derived entity views with pure DataFrame
+ops: attribute payloads become an `attr` span (header-free CSV fragment, like
+the reference's labels CSV rows, store_data_structures.py:174-183), geometries
+become a `geom` span carrying hex WKB in media_ref (reference GPKG geometries,
+delineation_pipeline.py:64,177), raster/lidar tiles become `raster`/`lidar`
+spans with hsi:// media refs (reference GeoTIFF/LAZ paths,
+store_data_structures.py:176-178). A `meta` span routes rows to tables.
+
+Crown geometries are irregular convex polygons generated deterministically
+from crown_key (star vertices → convex hull) — exercising the real WKB path
+that the box-based SQL oracles cannot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType, StructField, StructType
+
+from geotreehealth_spark.geo import kernels, wkb
+
+SPAN_SCHEMA = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def _span(kind, text, media_ref, offset: int):
+    return F.struct(
+        F.lit(kind).alias("kind") if isinstance(kind, str) else kind.alias("kind"),
+        (F.lit(text) if isinstance(text, str) else text).alias("text"),
+        (F.lit(media_ref) if isinstance(media_ref, str) else media_ref).alias("media_ref"),
+        F.lit(offset).cast("int").alias("offset"),
+    )
+
+
+def crown_polygon_ring(key: int, cx: float, cy: float, radius: float) -> np.ndarray:
+    """Deterministic convex crown polygon around (cx, cy).
+
+    Star vertices at n=6..12 angles with per-vertex radius jitter derived from
+    integer hashing of (key, vertex) — then convex-hulled. Pure arithmetic, no
+    RNG state: reproducible everywhere.
+    """
+    n = 6 + (key % 7)
+    j = np.arange(n, dtype=np.int64)
+    phase = (key % 997) * (2.0 * np.pi / 997.0)
+    ang = phase + 2.0 * np.pi * j / n
+    jitter = ((key * 2654435761 + (j + 1) * 40503) % 1000) / 1000.0
+    r = radius * (0.70 + 0.30 * jitter)
+    pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+    return kernels.convex_hull(pts)
+
+
+@F.pandas_udf(BinaryType())
+def crown_wkb_udf(key: pd.Series, cx: pd.Series, cy: pd.Series, radius: pd.Series) -> pd.Series:
+    out = []
+    for k, x, y, r in zip(key, cx, cy, radius):
+        out.append(wkb.encode_polygon(crown_polygon_ring(int(k), float(x), float(y), float(r))))
+    return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def ring_bounds_udf(geom: pd.Series) -> pd.Series:
+    xmin, ymin, xmax, ymax = wkb.polygon_bounds(list(geom))
+    return pd.Series(np.stack([xmin, ymin, xmax, ymax], axis=1).tolist())
+
+
+@F.pandas_udf(BinaryType())
+def point_wkb_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(wkb.encode_points(x.to_numpy(), y.to_numpy()))
+
+
+def crowns_with_geometry(crowns: DataFrame) -> DataFrame:
+    """Attach polygon WKB + true polygon bounds to the synth crown table."""
+    out = crowns.withColumn(
+        "geometry_wkb",
+        crown_wkb_udf(F.col("crown_key"), F.col("cx"), F.col("cy"), F.col("radius")),
+    ).withColumn("__b", ring_bounds_udf(F.col("geometry_wkb")))
+    return (
+        out.withColumn("gxmin", F.col("__b")[0])
+        .withColumn("gymin", F.col("__b")[1])
+        .withColumn("gxmax", F.col("__b")[2])
+        .withColumn("gymax", F.col("__b")[3])
+        .drop("__b")
+    )
+
+
+def stems_to_docs(stems: DataFrame) -> DataFrame:
+    """One doc per stem: meta + attr(CSV) + geom(point WKB hex) spans."""
+    attr_csv = F.concat_ws(
+        ",",
+        F.col("stem_tag"),
+        F.col("dbh").cast("string"),
+        F.col("year").cast("string"),
+        F.col("status"),
+        F.col("crown_position").cast("string"),
+        F.coalesce(F.col("fad"), F.lit("")),
+    )
+    geom_hex = F.lower(F.hex(point_wkb_udf(F.col("x"), F.col("y"))))
+    return stems.select(
+        F.concat(F.lit("stem-"), F.col("stem_tag")).alias("doc_id"),
+        F.array(
+            _span(F.lit("meta"), F.concat(F.lit("table=stems;site="), F.col("site_id")), "", 0),
+            _span(F.lit("attr"), attr_csv, "", 1),
+            _span(F.lit("geom"), "", geom_hex, 2),
+        ).alias("spans"),
+    )
+
+
+def crowns_to_docs(crowns_geo: DataFrame) -> DataFrame:
+    """One doc per crown: meta + attr + geom(polygon WKB hex) spans."""
+    attr_csv = F.concat_ws(
+        ",",
+        F.col("crown_id"),
+        F.col("score").cast("string"),
+        F.coalesce(F.col("stem_tag"), F.lit("")),
+        F.col("selected").cast("string"),
+    )
+    geom_hex = F.lower(F.hex(F.col("geometry_wkb")))
+    return crowns_geo.select(
+        F.concat(F.lit("crown-"), F.col("crown_id")).alias("doc_id"),
+        F.array(
+            _span(F.lit("meta"), F.lit("table=crowns;site=ALL"), "", 0),
+            _span(F.lit("attr"), attr_csv, "", 1),
+            _span(F.lit("geom"), "", geom_hex, 2),
+        ).alias("spans"),
+    )
+
+
+def tiles_to_docs(tiles: DataFrame, bands: int = 12, h: int = 100, w: int = 100) -> DataFrame:
+    """One doc per raster tile: meta + attr(bounds CSV) + raster(media_ref)."""
+    attr_csv = F.concat_ws(
+        ",",
+        F.col("tile_id"),
+        F.col("txmin").cast("string"),
+        F.col("tymin").cast("string"),
+        F.col("txmax").cast("string"),
+        F.col("tymax").cast("string"),
+    )
+    return tiles.select(
+        F.concat(F.lit("tile-"), F.col("tile_id")).alias("doc_id"),
+        F.array(
+            _span(F.lit("meta"), F.lit("table=tiles;site=ALL"), "", 0),
+            _span(F.lit("attr"), attr_csv, "", 1),
+            _span(
+                F.lit("raster"),
+                F.lit(f"bands={bands};h={h};w={w};dtype=float32"),
+                F.concat(F.lit("hsi://tile/"), F.col("tile_id")),
+                2,
+            ),
+        ).alias("spans"),
+    )
+
+
+def build_docs(stems: DataFrame, crowns_geo: DataFrame, tiles: DataFrame) -> DataFrame:
+    """The one physical input table: union of all entity docs."""
+    return (
+        stems_to_docs(stems)
+        .unionByName(crowns_to_docs(crowns_geo))
+        .unionByName(tiles_to_docs(tiles))
+    )

@@ -114,3 +114,27 @@ def polygon_overlap_ratio(a: np.ndarray, b: np.ndarray) -> float:
         return 0.0
     m = max(polygon_area(a), polygon_area(b))
     return inter / m if m > 0 else 0.0
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull → closed CCW ring (k,2).
+
+    Used by the deterministic crown-polygon generator (star vertices → hull)
+    so every synthetic crown is convex and convex_clip_area stays exact.
+    """
+    pts = np.unique(points, axis=0)  # sorts lexicographically (x, then y)
+    if len(pts) <= 2:
+        return np.vstack([pts, pts[:1]])
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-1]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = np.asarray(lower[:-1] + upper[:-1])
+    return np.vstack([ring, ring[:1]])
