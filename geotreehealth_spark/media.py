@@ -1,0 +1,82 @@
+"""Media-ref resolution for raster / lidar / image payloads (SURVEY.md S4/S7).
+
+The reference addresses per-crown arrays by filesystem path in the labels CSV
+(store_data_structures.py:174-183) and windows rasters with rasterio
+(get_polygons.py:588-623). The engine treats these as opaque `media_ref`
+strings on spans; payloads are resolved INSIDE Arrow batches by a deterministic
+resolver — in the sandbox a seeded synthetic ndarray per tile (FIXTURES.md §5),
+in production a real tile store / object-store reader with the same signature.
+
+Real decoders (GeoTIFF/LAZ/JPEG) are not installed in this container; the
+`decode_external` hook documents the production path and raises
+NotImplementedError — the Spark-side plumbing (schema, partitioning, UDF batch
+shape) is fully real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HSI_PREFIX = "hsi://tile/"
+LAZ_PREFIX = "laz://tile/"
+
+
+def resolve_raster(media_ref: str, bands: int, height: int, width: int) -> np.ndarray:
+    """media_ref → (bands, h, w) float32 cube.
+
+    Synthetic resolver: seeded by the tile id digits so every executor
+    materializes the identical cube (value range [0, 10000] like the
+    reference's HSI clip, build_dataloaders.py:74-75).
+    """
+    if media_ref.startswith(HSI_PREFIX):
+        tile_id = media_ref[len(HSI_PREFIX):]
+        seed = (int(tile_id) * 2654435761 + 12345) & 0xFFFFFFFF
+        rng = np.random.default_rng(seed)
+        return (rng.random((bands, height, width), dtype=np.float32) * 10000.0).astype(
+            np.float32
+        )
+    return decode_external(media_ref)
+
+
+def decode_external(media_ref: str) -> np.ndarray:
+    """Production decode path (rasterio/laspy/PIL) — not available in sandbox."""
+    raise NotImplementedError(
+        f"no decoder for media_ref {media_ref!r}: external raster/lidar/image "
+        "decoding requires rasterio/laspy which are not installed; plug a real "
+        "resolver here in production"
+    )
+
+
+def rasterize_mask(
+    ring: np.ndarray,
+    txmin: float,
+    tymax: float,
+    height: int,
+    width: int,
+    res_x: float,
+    res_y: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pixel-center mask of a polygon within a tile window.
+
+    Returns (row_idx, col_idx, valid_any) for pixels whose centers fall inside
+    the polygon — the numpy stand-in for rasterio.mask (store_data_structures.py:15-27).
+    Only the polygon's bbox sub-window is scanned.
+    """
+    from geotreehealth_spark.geo import kernels
+
+    xmin, ymin = ring.min(axis=0)
+    xmax, ymax = ring.max(axis=0)
+    c0 = max(int(np.floor((xmin - txmin) / res_x)), 0)
+    c1 = min(int(np.ceil((xmax - txmin) / res_x)), width)
+    r0 = max(int(np.floor((tymax - ymax) / res_y)), 0)
+    r1 = min(int(np.ceil((tymax - ymin) / res_y)), height)
+    if c1 <= c0 or r1 <= r0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), False
+    cols = np.arange(c0, c1)
+    rows = np.arange(r0, r1)
+    px = txmin + (cols + 0.5) * res_x
+    py = tymax - (rows + 0.5) * res_y
+    gx, gy = np.meshgrid(px, py)
+    inside = kernels.points_in_polygon(gx.ravel(), gy.ravel(), ring).reshape(gy.shape)
+    rr, cc = np.nonzero(inside)
+    return rows[rr], cols[cc], bool(len(rr))
