@@ -213,6 +213,134 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    synth.register_tpch_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotreehealth_spark.text import dedup as tdedup
+
+    return tdedup.exact_dedup(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotreehealth_spark.text import analysis
+
+    return analysis.fingerprint(_documents(spark, sf_dir))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotreehealth_spark.text import analysis
+
+    return analysis.text_stats(_documents(spark, sf_dir))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotreehealth_spark.text import analysis
+
+    return analysis.token_count(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotreehealth_spark.text import analysis
+
+    return analysis.lang_id(_documents(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotreehealth_spark.text import dedup as tdedup
+
+    docs = _documents(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    return tdedup.jaccard_pairs(docs, threshold=0.5)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotreehealth_spark.text import similarity
+
+    synth.register_tpch_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.cosine_topk(emb, probes, k=10)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: banded MinHash-LSH candidate pairs (pytest covers parity)."""
+    from geotreehealth_spark.text import dedup as tdedup
+
+    return tdedup.minhash_lsh_pairs(_documents(spark, sf_dir), n_perm=64, bands=16)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: SimHash near-dup pairs (hamming <= 12 on word-soup docs)."""
+    from geotreehealth_spark.text import dedup as tdedup
+
+    return tdedup.simhash_dedup_pairs(_documents(spark, sf_dir), max_hamming=12)
+
+
+def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: random-hyperplane LSH embedding near-dup pairs."""
+    from geotreehealth_spark.text import similarity
+
+    synth.register_tpch_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    # random 64-d embeddings: cross-pair cosine tops out ~0.5, so the
+    # near-dup threshold for the demo corpus sits at 0.25
+    return similarity.rp_lsh_pairs(emb, dim=64, n_planes=4, min_sim=0.25)
+
+
+def q_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: exact distributed greedy NMS over WKB crown polygons
+    (sequential parity proven in tests/test_spatial_parity.py)."""
+    from geotreehealth_spark.docs import generator
+    from geotreehealth_spark.operators import nms
+
+    crowns = synth.crowns(spark, sf_dir)
+    geo = generator.crowns_with_geometry(crowns)
+    out = nms.greedy_nms(
+        geo, id_col="crown_id", score_col="score", threshold=0.3,
+        cell_size=50.0, bounds=("gxmin", "gymin", "gxmax", "gymax"),
+        wkb_col="geometry_wkb",
+    )
+    return out.select("crown_id", "selected")
+
+
+def q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-crown HSI band stats over synthetic tiles
+    (numpy-oracle parity in tests/test_zonal.py)."""
+    from geotreehealth_spark.docs import generator
+    from geotreehealth_spark.operators import tiling, zonal
+
+    crowns = synth.crowns(spark, sf_dir)
+    geo = generator.crowns_with_geometry(crowns)
+    tiles = tiling.tile_grid(spark, extent=1000.0, tile_size=100.0, overlap=0.0).selectExpr(
+        "tile_id", "txmin", "tymin", "txmax", "tymax",
+        "concat('hsi://tile/', tile_id) AS media_ref",
+        "12 AS bands", "100 AS height", "100 AS width",
+    )
+    out = zonal.zonal_raster_stats(geo, tiles)
+    return out.select(
+        "crown_id", "n_px", F.col("band_mean")[0].alias("band0_mean")
+    )
+
+
+def q_docs_decode_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-docs roundtrip under the oracle gate: synth stems → docs
+    (meta/attr/geom spans) → decode → must equal the plain derivation."""
+    from geotreehealth_spark.docs import decode, generator
+
+    stems = synth.stems(spark, sf_dir)
+    docs = generator.stems_to_docs(stems)
+    decoded = decode.decode_stems(docs)
+    return decoded.select(
+        "stem_tag", "x", "y", "dbh", "year", "status", "crown_position", "fad", "site_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -240,6 +368,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_pairs": q_overlap_pairs,
         "tpch_q1": q_tpch_q1,
         "topk_orders": q_topk_orders,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "rp_lsh_pairs": q_rp_lsh_pairs,
+        "nms_greedy": q_nms_greedy,
+        "zonal_raster": q_zonal_raster,
+        "docs_decode_stems": q_docs_decode_stems,
     }
 
 
@@ -427,4 +568,104 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rk <= 3
         """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+                   MIN(doc_id) AS keeper_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "text_stats": r"""
+            SELECT doc_id, n_chars, n_words, n_punct, avg_word_len,
+                   CASE WHEN n_words < 5 THEN 0e0
+                        WHEN avg_word_len < 2e0 THEN 0.25e0
+                        WHEN avg_word_len > 12e0 THEN 0.25e0
+                        ELSE 1e0 END AS quality
+            FROM (
+                SELECT doc_id,
+                       LENGTH(text) AS n_chars,
+                       LEN(string_split_regex(trim(text), '\s+')) AS n_words,
+                       LENGTH(text) - LENGTH(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+                       CAST(LENGTH(text) - LEN(string_split_regex(trim(text), '\s+')) + 1 AS DOUBLE)
+                           / CAST(LEN(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_word_len
+                FROM documents
+            )
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   LEN(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+                   CAST(CEIL(LENGTH(text) / 4e0) AS BIGINT) AS bpe_tokens_est
+            FROM documents
+        """,
+        "lang_id": _lang_id_oracle(),
+        "jaccard_pairs": r"""
+            WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            toks AS (
+                SELECT DISTINCT doc_id, t.tok AS token
+                FROM docs, UNNEST(string_split_regex(lower(text), '\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   i / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.sz + sb.sz - i) >= 0.5e0
+        """,
+        "ann_cosine_topk": """
+            SELECT probe_id, neighbor_id, sim, rank FROM (
+                SELECT probe_id, neighbor_id, sim,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY probe_id ORDER BY sim DESC, neighbor_id
+                       ) AS INT) AS rank
+                FROM (
+                    SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+                           list_cosine_similarity(
+                               CAST(p.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) AS sim
+                    FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+                    WHERE p.vec_id % 50 = 0
+                )
+            ) WHERE rank <= 10
+        """,
+        "docs_decode_stems": W(stems) + """
+            SELECT stem_tag, x, y, dbh, year, status, crown_position, fad, site_id
+            FROM stems
+        """,
     }
+
+
+def _lang_id_oracle() -> str:
+    from geotreehealth_spark.text.analysis import LANG_MARKERS
+
+    def cnt(word: str) -> str:
+        pad = "' ' || lower(text) || ' '"
+        return (
+            f"CAST(FLOOR((LENGTH({pad}) - LENGTH(REPLACE({pad}, ' {word} ', '')))"
+            f" / {len(word) + 2}e0) AS INT)"
+        )
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n".join(
+        "(" + " + ".join(cnt(w) for w in LANG_MARKERS[lang]) + f") AS s_{lang}"
+        for lang in langs
+    )
+    greatest = "GREATEST(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+        WITH s AS (SELECT doc_id, {score_cols} FROM documents)
+        SELECT doc_id, {greatest} AS lang_score, {case_sql} AS lang_pred FROM s
+    """

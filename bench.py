@@ -1,0 +1,85 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` = total wall seconds over the headline set (lower is better). The
+throughput composite the north_rule grades (crown-stem joins/sec + tiles/sec +
+scaling efficiency) is produced by tools/bench_scaling.py into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from geotreehealth_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pip_stems_plots",
+    "pip_assign_best",
+    "knn",
+    "knn_quadrant",
+    "tile_assign",
+    "zonal_lidar",
+    "zonal_percentiles",
+    "zonal_raster",
+    "nms_greedy",
+    "overlap_pairs",
+    "median_pick",
+    "dedup_keep_max_dbh",
+    "docs_decode_stems",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "jaccard_pairs",
+    "ann_cosine_topk",
+    "text_stats",
+    "lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(app_name="geotreehealth-bench", cores=cpus)
+    queries = entrymod.queries()
+
+    # warm the JVM + parquet footer caches outside timing
+    spark.range(1).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

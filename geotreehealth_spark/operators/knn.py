@@ -105,8 +105,10 @@ def knn_join(
             (F.col("__n") >= k) & (F.col("__kth") < ring * cell_size)
         ).select(left_id)
         results.append(ranked.join(F.broadcast(complete_ids), left_id, "left_semi"))
-        remaining = remaining.join(F.broadcast(complete_ids), left_id, "left_anti")
-        # cheap emptiness probe — escalation sets shrink exponentially
+        # checkpoint: keeps the escalation loop's plan flat across rounds
+        remaining = remaining.join(
+            F.broadcast(complete_ids), left_id, "left_anti"
+        ).localCheckpoint(eager=True)
         if remaining.limit(1).count() == 0:
             break
         ring *= 2
@@ -179,7 +181,9 @@ def quadrant_knn_join(
             .select(left_id)
         )
         results.append(best.join(F.broadcast(proven), left_id, "left_semi"))
-        remaining = remaining.join(F.broadcast(proven), left_id, "left_anti")
+        remaining = remaining.join(
+            F.broadcast(proven), left_id, "left_anti"
+        ).localCheckpoint(eager=True)
         if remaining.limit(1).count() == 0:
             break
         ring *= 2

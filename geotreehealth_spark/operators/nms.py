@@ -102,16 +102,18 @@ def greedy_nms(
     max_rounds: int = 64,
 ) -> DataFrame:
     """polys + `selected` boolean, exactly matching sequential greedy NMS."""
+    # localCheckpoint each round: the fixpoint otherwise builds an
+    # exponentially-deep logical plan (classic iterative-DataFrame trap) and
+    # the driver burns all its time in Catalyst re-analysis.
     edges = nms_conflict_edges(
         polys, id_col, score_col, threshold, cell_size, bounds, wkb_col, criterion
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     suppressed_acc: DataFrame | None = None
     for _ in range(max_rounds):
         if edges.limit(1).count() == 0:
             break
-        # kept-for-sure: losers whose every winner is itself a loser of a live
-        # edge are NOT decidable yet; sources (never a loser) are kept.
+        # kept-for-sure: winners that are nobody's loser in the live graph
         losers = edges.select(F.col("loser").alias("id")).distinct()
         kept_now = (
             edges.select(F.col("winner").alias("id"))
@@ -123,22 +125,23 @@ def greedy_nms(
             edges.join(kept_now.withColumnRenamed("id", "winner"), "winner")
             .select(F.col("loser").alias("id"))
             .distinct()
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if newly_suppressed.limit(1).count() == 0:
-            break  # no sources left → remaining graph is empty or cyclic (impossible for a DAG)
+            break  # no sources left → remaining graph is empty (DAG is acyclic)
         suppressed_acc = (
             newly_suppressed
             if suppressed_acc is None
-            else suppressed_acc.unionByName(newly_suppressed).distinct()
+            else suppressed_acc.unionByName(newly_suppressed)
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        suppressed_acc = suppressed_acc.persist()
         # drop edges involving suppressed nodes (they can no longer suppress),
         # and edges whose loser is already suppressed (decided)
         edges = (
             edges.join(suppressed_acc.withColumnRenamed("id", "winner"), "winner", "left_anti")
             .join(suppressed_acc.withColumnRenamed("id", "loser"), "loser", "left_anti")
-            .persist()
+            .localCheckpoint(eager=True)
         )
     if suppressed_acc is None:
         return polys.withColumn("selected", F.lit(True))
