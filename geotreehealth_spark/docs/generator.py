@@ -62,6 +62,38 @@ def crown_wkb_udf(key: pd.Series, cx: pd.Series, cy: pd.Series, radius: pd.Serie
     return pd.Series(out)
 
 
+# one combined UDF: polygon WKB + bounds in a single pass, so Catalyst cannot
+# inline-and-recompute the expensive polygon build once per derived column
+_CROWN_GEO_TYPE = StructType(
+    [
+        StructField("wkb", BinaryType()),
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_CROWN_GEO_TYPE)
+def crown_geo_udf(
+    key: pd.Series, cx: pd.Series, cy: pd.Series, radius: pd.Series
+) -> pd.DataFrame:
+    wkbs, xmin, ymin, xmax, ymax = [], [], [], [], []
+    for k, x, y, r in zip(key, cx, cy, radius):
+        ring = crown_polygon_ring(int(k), float(x), float(y), float(r))
+        wkbs.append(wkb.encode_polygon(ring))
+        mn = ring.min(axis=0)
+        mx = ring.max(axis=0)
+        xmin.append(mn[0])
+        ymin.append(mn[1])
+        xmax.append(mx[0])
+        ymax.append(mx[1])
+    return pd.DataFrame(
+        {"wkb": wkbs, "xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax}
+    )
+
+
 @F.pandas_udf(ArrayType(DoubleType()))
 def ring_bounds_udf(geom: pd.Series) -> pd.Series:
     xmin, ymin, xmax, ymax = wkb.polygon_bounds(list(geom))
@@ -74,17 +106,23 @@ def point_wkb_udf(x: pd.Series, y: pd.Series) -> pd.Series:
 
 
 def crowns_with_geometry(crowns: DataFrame) -> DataFrame:
-    """Attach polygon WKB + true polygon bounds to the synth crown table."""
+    """Attach polygon WKB + true polygon bounds to the synth crown table.
+
+    One combined UDF evaluation per row (WKB + bounds together), then field
+    projection — Catalyst caches the struct per row instead of re-running the
+    polygon build for every derived column.
+    """
     out = crowns.withColumn(
-        "geometry_wkb",
-        crown_wkb_udf(F.col("crown_key"), F.col("cx"), F.col("cy"), F.col("radius")),
-    ).withColumn("__b", ring_bounds_udf(F.col("geometry_wkb")))
+        "__g",
+        crown_geo_udf(F.col("crown_key"), F.col("cx"), F.col("cy"), F.col("radius")),
+    )
     return (
-        out.withColumn("gxmin", F.col("__b")[0])
-        .withColumn("gymin", F.col("__b")[1])
-        .withColumn("gxmax", F.col("__b")[2])
-        .withColumn("gymax", F.col("__b")[3])
-        .drop("__b")
+        out.withColumn("geometry_wkb", F.col("__g.wkb"))
+        .withColumn("gxmin", F.col("__g.xmin"))
+        .withColumn("gymin", F.col("__g.ymin"))
+        .withColumn("gxmax", F.col("__g.xmax"))
+        .withColumn("gymax", F.col("__g.ymax"))
+        .drop("__g")
     )
 
 

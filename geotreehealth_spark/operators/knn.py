@@ -33,9 +33,16 @@ from geotreehealth_spark.operators.pip_join import distance_expr
 from geotreehealth_spark.operators.udfs import make_cell_encode_udf, make_ring_cells_udf
 
 
+def _with_cells(right: DataFrame, cell_size: float, rx: str, ry: str) -> DataFrame:
+    """Right side indexed by cell ONCE per kNN call (persisted by callers so
+    escalation rounds reuse it instead of re-scanning + re-encoding)."""
+    cell_udf = make_cell_encode_udf(cell_size)
+    return right.withColumn("__cell", cell_udf(F.col(rx), F.col(ry)))
+
+
 def _candidates(
     left: DataFrame,
-    right: DataFrame,
+    right_cells: DataFrame,
     cell_size: float,
     ring: int,
     lx: str,
@@ -44,11 +51,9 @@ def _candidates(
     ry: str,
 ) -> DataFrame:
     ring_udf = make_ring_cells_udf(cell_size, ring)
-    cell_udf = make_cell_encode_udf(cell_size)
     lc = left.withColumn("__cell", F.explode(ring_udf(F.col(lx), F.col(ly))))
-    rc = right.withColumn("__cell", cell_udf(F.col(rx), F.col(ry)))
     return (
-        lc.join(rc, "__cell")
+        lc.join(right_cells, "__cell")
         .drop("__cell")
         .withColumn("dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry)))
     )
@@ -84,10 +89,19 @@ def knn_join(
     w = Window.partitionBy(left_id).orderBy(F.col("dist").asc(), F.col(right_id).asc())
     results = []
     remaining = left
+    right_cells = _with_cells(right, cell_size, rx, ry).persist()
     ring = 1
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
     while True:
-        cands = _candidates(remaining, right, cell_size, ring, lx, ly, rx, ry)
+        if ring >= max_ring:
+            # final fallback: remaining is a tiny residue (corner points /
+            # globally-sparse neighborhoods) — a direct cross join beats
+            # exploding a quarter-million ring cells per row
+            cands = remaining.crossJoin(right_cells.drop("__cell")).withColumn(
+                "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+            )
+        else:
+            cands = _candidates(remaining, right_cells, cell_size, ring, lx, ly, rx, ry)
         if min_dist is not None:
             cands = cands.where(F.col("dist") >= min_dist)
         ranked = cands.withColumn("knn_rank", F.row_number().over(w)).where(
@@ -111,7 +125,7 @@ def knn_join(
         ).localCheckpoint(eager=True)
         if remaining.limit(1).count() == 0:
             break
-        ring *= 2
+        ring *= 4  # aggressive escalation: each proof round is cheap, rounds are not
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
@@ -142,7 +156,7 @@ def quadrant_knn_join(
     if cell_size is None:
         n_right = right.count()
         density = max(n_right, 1) / (extent * extent)
-        cell_size = max(min(4.0 * math.sqrt(1.0 / density), extent / 2), extent / 4096)
+        cell_size = max(min(8.0 * math.sqrt(1.0 / density), extent / 2), extent / 1024)
 
     quadrant = (
         F.when((F.col(rx) >= F.col(lx)) & (F.col(ry) >= F.col(ly)), F.lit("NE"))
@@ -155,14 +169,17 @@ def quadrant_knn_join(
     )
     results = []
     remaining = left
+    right_cells = _with_cells(right, cell_size, rx, ry).persist()
     ring = 1
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
     while True:
-        cands = (
-            _candidates(remaining, right, cell_size, ring, lx, ly, rx, ry)
-            .where(F.col("dist") >= min_dist)
-            .withColumn("quadrant", quadrant)
-        )
+        if ring >= max_ring:
+            cands = remaining.crossJoin(right_cells.drop("__cell")).withColumn(
+                "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+            )
+        else:
+            cands = _candidates(remaining, right_cells, cell_size, ring, lx, ly, rx, ry)
+        cands = cands.where(F.col("dist") >= min_dist).withColumn("quadrant", quadrant)
         best = cands.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop(
             "__rn"
         )
@@ -186,7 +203,7 @@ def quadrant_knn_join(
         ).localCheckpoint(eager=True)
         if remaining.limit(1).count() == 0:
             break
-        ring *= 2
+        ring *= 4  # aggressive escalation: each proof round is cheap, rounds are not
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
