@@ -112,6 +112,10 @@ def crowns_with_geometry(crowns: DataFrame) -> DataFrame:
     projection — Catalyst caches the struct per row instead of re-running the
     polygon build for every derived column.
     """
+    # spread the polygon-build UDF across all cores: the upstream aggregate is
+    # bytes-tiny so AQE coalesces it, but the per-row Python cost is not tiny
+    spark = crowns.sparkSession
+    crowns = crowns.repartition(spark.sparkContext.defaultParallelism)
     out = crowns.withColumn(
         "__g",
         crown_geo_udf(F.col("crown_key"), F.col("cx"), F.col("cy"), F.col("radius")),

@@ -51,10 +51,47 @@ def nms_conflict_edges(
     criterion: 'overlap_ratio' (inter/max area, get_polygons.py:806-816) or
     'iou' (batch_sam.py:699). With wkb_col=None boxes are exact geometry;
     otherwise the polygon kernel refines the bbox candidates.
+
+    Plan note: the cell self-join runs on SLIM columns (id, score, bbox) so
+    the quadratic candidate stream never carries WKB blobs; polygon payloads
+    are joined back only for the bbox-surviving pairs (orders of magnitude
+    fewer) before the exact-geometry refine.
     """
-    cols = [id_col, score_col, *bounds] + ([wkb_col] if wkb_col else [])
-    pairs = overlap_selfjoin(polys.select(*cols), id_col=id_col, cell_size=cell_size, bounds=bounds)
+    slim = polys.select(id_col, score_col, *bounds)
+    pairs = overlap_selfjoin(slim, id_col=id_col, cell_size=cell_size, bounds=bounds)
     if wkb_col is not None:
+        # sound bbox prune before any Python touches the pairs: a CONVEX
+        # polygon's area is >= 1/2 its bbox area (it contains the quadrilateral
+        # of its 4 extreme points), and poly_inter <= box_inter, hence
+        # poly_ratio <= 2 * box_ratio. Pairs with box_ratio <= threshold/2 can
+        # never pass the exact test — drop them JVM-side.
+        x0, y0, x1, y1 = bounds
+        biw = F.greatest(
+            F.least(F.col(f"a_{x1}"), F.col(f"b_{x1}"))
+            - F.greatest(F.col(f"a_{x0}"), F.col(f"b_{x0}")),
+            F.lit(0.0),
+        )
+        bih = F.greatest(
+            F.least(F.col(f"a_{y1}"), F.col(f"b_{y1}"))
+            - F.greatest(F.col(f"a_{y0}"), F.col(f"b_{y0}")),
+            F.lit(0.0),
+        )
+        barea_a = (F.col(f"a_{x1}") - F.col(f"a_{x0}")) * (F.col(f"a_{y1}") - F.col(f"a_{y0}"))
+        barea_b = (F.col(f"b_{x1}") - F.col(f"b_{x0}")) * (F.col(f"b_{y1}") - F.col(f"b_{y0}"))
+        box_ratio = (biw * bih) / F.greatest(barea_a, barea_b)
+        pairs = pairs.where(box_ratio > threshold / 2.0)
+        geoms = polys.select(id_col, wkb_col)
+        pairs = pairs.join(
+            geoms.select(
+                F.col(id_col).alias(f"a_{id_col}"), F.col(wkb_col).alias(f"a_{wkb_col}")
+            ),
+            f"a_{id_col}",
+        ).join(
+            geoms.select(
+                F.col(id_col).alias(f"b_{id_col}"), F.col(wkb_col).alias(f"b_{wkb_col}")
+            ),
+            f"b_{id_col}",
+        )
         udf = overlap_ratio_udf if criterion == "overlap_ratio" else iou_udf
         measure = udf(F.col(f"a_{wkb_col}"), F.col(f"b_{wkb_col}"))
     else:
@@ -84,10 +121,12 @@ def nms_conflict_edges(
         (F.col(f"a_{score_col}") == F.col(f"b_{score_col}"))
         & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
     )
+    # no .distinct(): overlap_selfjoin's reporting-cell rule already emits
+    # each unordered pair exactly once
     return conflicts.select(
         F.when(a_wins, F.col(f"a_{id_col}")).otherwise(F.col(f"b_{id_col}")).alias("winner"),
         F.when(a_wins, F.col(f"b_{id_col}")).otherwise(F.col(f"a_{id_col}")).alias("loser"),
-    ).distinct()
+    )
 
 
 def greedy_nms(
@@ -100,14 +139,37 @@ def greedy_nms(
     wkb_col: str | None = None,
     criterion: str = "overlap_ratio",
     max_rounds: int = 64,
+    driver_fixpoint_max: int = 20_000_000,
 ) -> DataFrame:
-    """polys + `selected` boolean, exactly matching sequential greedy NMS."""
+    """polys + `selected` boolean, exactly matching sequential greedy NMS.
+
+    The conflict-edge DISCOVERY is always fully distributed (the quadratic
+    part). The fixpoint itself is O(edges x chain-depth): when the edge list
+    fits on the driver (< driver_fixpoint_max int64 pairs) it runs as a
+    vectorized numpy loop there — hundreds of rounds at milliseconds each
+    instead of seconds per distributed round of tiny joins. Beyond the cap the
+    distributed join-based fixpoint takes over (identical semantics).
+    """
     # localCheckpoint each round: the fixpoint otherwise builds an
     # exponentially-deep logical plan (classic iterative-DataFrame trap) and
     # the driver burns all its time in Catalyst re-analysis.
     edges = nms_conflict_edges(
         polys, id_col, score_col, threshold, cell_size, bounds, wkb_col, criterion
     ).localCheckpoint(eager=True)
+
+    if edges.count() <= driver_fixpoint_max:
+        suppressed_ids = _fixpoint_local(edges.toPandas())
+        if not suppressed_ids:
+            return polys.withColumn("selected", F.lit(True))
+        spark = polys.sparkSession
+        supp_df = spark.createDataFrame(
+            [(s,) for s in suppressed_ids], f"{id_col} string"
+        ).withColumn("__supp", F.lit(True))
+        return (
+            polys.join(F.broadcast(supp_df), id_col, "left")
+            .withColumn("selected", F.col("__supp").isNull())
+            .drop("__supp")
+        )
 
     suppressed_acc: DataFrame | None = None
     for _ in range(max_rounds):
@@ -150,3 +212,35 @@ def greedy_nms(
         id_col,
         "left",
     ).withColumn("selected", F.col("__supp").isNull()).drop("__supp")
+
+
+def _fixpoint_local(edge_pdf) -> list:
+    """Vectorized greedy fixpoint on the driver: same rule as the distributed
+    loop (a node is suppressed iff a surviving winner points at it), numpy
+    per-round. Returns the suppressed ids."""
+    import numpy as np
+    import pandas as pd
+
+    if len(edge_pdf) == 0:
+        return []
+    all_ids, codes = np.unique(
+        np.concatenate([edge_pdf["winner"].to_numpy(), edge_pdf["loser"].to_numpy()]),
+        return_inverse=True,
+    )
+    m = len(edge_pdf)
+    w = codes[:m]
+    l = codes[m:]
+    n = len(all_ids)
+    alive = np.ones(m, dtype=bool)
+    suppressed = np.zeros(n, dtype=bool)
+    while alive.any():
+        is_loser = np.zeros(n, dtype=bool)
+        is_loser[l[alive]] = True
+        # edges whose winner is a source (kept for sure) suppress their loser
+        decide = alive & ~is_loser[w]
+        new_supp = l[decide]
+        if len(new_supp) == 0:
+            break  # acyclic graph: cannot happen while edges remain
+        suppressed[new_supp] = True
+        alive &= ~suppressed[w] & ~suppressed[l]
+    return all_ids[suppressed].tolist()

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from geotreehealth_spark.operators.udfs import make_cell_encode_udf, make_covering_cells_udf
+from geotreehealth_spark.operators.udfs import make_covering_cells_xy_udf
 
 
 def overlap_selfjoin(
@@ -35,21 +35,31 @@ def overlap_selfjoin(
     Without it, pairs are emitted once with a_id < b_id.
     """
     x0, y0, x1, y1 = bounds
-    cover = make_covering_cells_udf(cell_size)
-    cell_of = make_cell_encode_udf(cell_size)
+    cover = make_covering_cells_xy_udf(cell_size)
 
     def prefixed(side: str, frame: DataFrame) -> DataFrame:
         sel = [F.col(c).alias(f"{side}_{c}") for c in frame.columns]
         return frame.select(*sel)
 
-    with_cells = df.withColumn(
-        "__cell", F.explode(cover(F.col(x0), F.col(y0), F.col(x1), F.col(y1)))
+    with_cells = (
+        df.withColumn(
+            "__c", F.explode(cover(F.col(x0), F.col(y0), F.col(x1), F.col(y1)))
+        )
+        .withColumn("__cell", F.col("__c.cell"))
+        .withColumn("__gx", F.col("__c.gx"))
+        .withColumn("__gy", F.col("__c.gy"))
+        .drop("__c")
     )
-    left = with_cells
+    left = with_cells.drop("__gx", "__gy")
     if left_filter is not None:
-        left = with_cells.where(left_filter)
+        left = left.where(left_filter)
     a = prefixed("a", left).withColumnRenamed("a___cell", "__cell")
-    b = prefixed("b", with_cells).withColumnRenamed("b___cell", "__cell")
+    b = (
+        prefixed("b", with_cells)
+        .withColumnRenamed("b___cell", "__cell")
+        .withColumnRenamed("b___gx", "__gx")
+        .withColumnRenamed("b___gy", "__gy")
+    )
 
     joined = a.join(b, "__cell")
     if left_filter is not None:
@@ -63,11 +73,17 @@ def overlap_selfjoin(
         & (F.col(f"a_{y0}") < F.col(f"b_{y1}"))
         & (F.col(f"a_{y1}") > F.col(f"b_{y0}"))
     )
-    # reporting cell = cell of the intersection's min corner → exactly-once
+    # reporting cell = cell containing the intersection's min corner →
+    # exactly-once emission, checked with pure JVM floor arithmetic (the
+    # exploded struct carries the cell's grid coords, so no Python here)
     ix = F.greatest(F.col(f"a_{x0}"), F.col(f"b_{x0}"))
     iy = F.greatest(F.col(f"a_{y0}"), F.col(f"b_{y0}"))
-    joined = joined.where(F.col("__cell") == cell_of(ix, iy))
-    return joined.drop("__cell")
+    # clamp at 0 exactly like cells_covering_bbox does for out-of-frame bboxes
+    joined = joined.where(
+        (F.greatest(F.floor(ix / F.lit(cell_size)), F.lit(0)) == F.col("__gx"))
+        & (F.greatest(F.floor(iy / F.lit(cell_size)), F.lit(0)) == F.col("__gy"))
+    )
+    return joined.drop("__cell", "__gx", "__gy")
 
 
 def box_iou_cols(

@@ -11,7 +11,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, BinaryType, BooleanType, DoubleType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from geotreehealth_spark.geo import cells, kernels, wkb
 
@@ -44,6 +52,37 @@ def make_covering_cells_udf(cell_size: float):
     return covering_cells_udf
 
 
+def make_covering_cells_xy_udf(cell_size: float):
+    """Like make_covering_cells_udf but emits struct(cell, gx, gy) so that
+    downstream canonical-cell checks (pair dedup) can run as pure JVM
+    floor-division arithmetic instead of another Python roundtrip."""
+
+    @pandas_udf(
+        ArrayType(
+            StructType(
+                [
+                    StructField("cell", LongType()),
+                    StructField("gx", LongType()),
+                    StructField("gy", LongType()),
+                ]
+            )
+        )
+    )
+    def covering_cells_xy_udf(
+        xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
+    ) -> pd.Series:
+        rows, cell_ids = cells.cells_covering_bbox(
+            xmin.to_numpy(), ymin.to_numpy(), xmax.to_numpy(), ymax.to_numpy(), cell_size
+        )
+        gx, gy = cells.cell_decode(cell_ids)
+        out = [[] for _ in range(len(xmin))]
+        for r, c, x, y in zip(rows.tolist(), cell_ids.tolist(), gx.tolist(), gy.tolist()):
+            out[r].append((c, x, y))
+        return pd.Series(out)
+
+    return covering_cells_xy_udf
+
+
 def make_ring_cells_udf(cell_size: float, ring: int):
     """(x, y) → array of cell_ids within `ring` steps of the point's cell."""
 
@@ -70,22 +109,28 @@ def pip_udf(geom_wkb: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _decode_cached(series: pd.Series) -> list:
+    """Decode a WKB column with per-batch memoization — each polygon appears
+    in many candidate pairs, so decode once per unique buffer."""
+    codes, uniques = pd.factorize(series)
+    rings = [wkb.decode_polygon(u) for u in uniques]
+    return [rings[c] for c in codes]
+
+
 @pandas_udf(DoubleType())
 def iou_udf(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     """Pairwise polygon IoU (batch_sam.py:150-151 calculate_overlap)."""
-    out = np.empty(len(wkb_a))
-    for i, (a, b) in enumerate(zip(wkb_a, wkb_b)):
-        out[i] = kernels.polygon_iou(wkb.decode_polygon(a), wkb.decode_polygon(b))
-    return pd.Series(out)
+    ra = _decode_cached(wkb_a)
+    rb = _decode_cached(wkb_b)
+    return pd.Series([kernels.polygon_iou(a, b) for a, b in zip(ra, rb)])
 
 
 @pandas_udf(DoubleType())
 def overlap_ratio_udf(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     """inter / max(areaA, areaB) — greedy-NMS criterion (get_polygons.py:806-816)."""
-    out = np.empty(len(wkb_a))
-    for i, (a, b) in enumerate(zip(wkb_a, wkb_b)):
-        out[i] = kernels.polygon_overlap_ratio(wkb.decode_polygon(a), wkb.decode_polygon(b))
-    return pd.Series(out)
+    ra = _decode_cached(wkb_a)
+    rb = _decode_cached(wkb_b)
+    return pd.Series([kernels.polygon_overlap_ratio(a, b) for a, b in zip(ra, rb)])
 
 
 @pandas_udf(BinaryType())

@@ -40,6 +40,7 @@ def zonal_raster_stats(
     crown_bounds: tuple[str, str, str, str] = ("gxmin", "gymin", "gxmax", "gymax"),
     wkb_col: str = "geometry_wkb",
     n_bands: int = 12,
+    salt: int = 8,
 ) -> DataFrame:
     """Per-crown band means/stds over the synthetic HSI tiles.
 
@@ -47,11 +48,16 @@ def zonal_raster_stats(
     height, width). Output: crown_id, n_px, band_mean: array<double>,
     band_std: array<double> (population std, like np.std).
     """
+    # salted grouping (north_rule): dense-forest tiles hold most crowns, so a
+    # plain groupBy(tile_id) caps parallelism at n_tiles and the hot tiles
+    # straggle. Salting by crown hash splits each tile into `salt` groups; the
+    # tile cube is re-resolved per sub-group (cheap — it's a seeded generator /
+    # cached tile store read) and the partial-sum merge is unchanged.
     assigned = assign_tiles(
         crowns_geo.select("crown_id", wkb_col, *crown_bounds),
         tiles,
         bounds=crown_bounds,
-    )
+    ).withColumn("__salt", F.pmod(F.xxhash64("crown_id"), F.lit(salt)))
 
     partial_schema = (
         "crown_id string, n_px long, band_sum array<double>, band_sumsq array<double>"
@@ -91,7 +97,7 @@ def zonal_raster_stats(
             }
         )
 
-    partials = assigned.groupBy("tile_id").applyInPandas(per_tile, partial_schema)
+    partials = assigned.groupBy("tile_id", "__salt").applyInPandas(per_tile, partial_schema)
 
     # merge partials across tiles (overlapping windows double-count pixels in
     # the overlap zone exactly like the reference's per-tile loop would if not

@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # our rows are tiny (ids + coords + ~90B WKB) but the downstream
+        # pandas-UDF work per row is NOT — without this AQE coalesces small
+        # aggregates to 1 partition and serializes every Arrow kernel behind it
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Deterministic session timezone for date-derived columns.
         .config("spark.sql.session.timeZone", "UTC")
