@@ -51,8 +51,17 @@ def main() -> None:
     spark = get_spark(app_name="geotreehealth-bench", cores=cpus)
     queries = entrymod.queries()
 
-    # warm the JVM + parquet footer caches outside timing
-    spark.range(1).count()
+    # warm the JVM, Python-UDF worker pool, Arrow path, and parquet readers
+    # outside timing: bench measures steady-state throughput, not cold-start
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _warm(v):
+        return v
+
+    spark.range(100000).select(F.sum(_warm(F.col("id")))).collect()
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
     per_query: dict[str, float] = {}
     total = 0.0

@@ -70,12 +70,17 @@ def knn_join(
     right_xy: tuple[str, str] = ("cx", "cy"),
     extent: float = 1000.0,
     min_dist: float | None = None,
+    max_proof_rounds: int = 2,
 ) -> DataFrame:
     """Exact k nearest `right` rows per `left` row; ties broken by right_id.
 
     Output: all left columns + right columns + `dist` + `knn_rank` (1..k).
     ``min_dist``: drop candidates strictly closer than this (reference's
     remove_too_close, batch_sam.py:430-432) before ranking.
+    ``max_proof_rounds``: ring-proof rounds before the residue goes to the
+    cross-join fallback — each round costs fixed job latency, and after two
+    rounds the unproven set is a handful of globally-sparse points for which
+    the cross join is cheaper than more rounds.
     """
     lx, ly = left_xy
     rx, ry = right_xy
@@ -91,9 +96,11 @@ def knn_join(
     remaining = left
     right_cells = _with_cells(right, cell_size, rx, ry).persist()
     ring = 1
+    rounds = 0
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
     while True:
-        if ring >= max_ring:
+        final = ring >= max_ring or rounds >= max_proof_rounds
+        if final:
             # final fallback: remaining is a tiny residue (corner points /
             # globally-sparse neighborhoods) — a direct cross join beats
             # exploding a quarter-million ring cells per row
@@ -107,7 +114,7 @@ def knn_join(
         ranked = cands.withColumn("knn_rank", F.row_number().over(w)).where(
             F.col("knn_rank") <= k
         )
-        if ring >= max_ring:
+        if final:
             results.append(ranked)
             break
         ranked = ranked.persist()  # reused by proof, semi-join, and final union
@@ -126,6 +133,7 @@ def knn_join(
         if remaining.limit(1).count() == 0:
             break
         ring *= 4  # aggressive escalation: each proof round is cheap, rounds are not
+        rounds += 1
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
@@ -142,6 +150,7 @@ def quadrant_knn_join(
     right_xy: tuple[str, str] = ("cx", "cy"),
     extent: float = 1000.0,
     min_dist: float = 3.0,
+    max_proof_rounds: int = 1,
 ) -> DataFrame:
     """J6: nearest `right` per cardinal quadrant around each `left` point.
 
@@ -171,9 +180,13 @@ def quadrant_knn_join(
     remaining = left
     right_cells = _with_cells(right, cell_size, rx, ry).persist()
     ring = 1
+    rounds = 0
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
     while True:
-        if ring >= max_ring:
+        final = ring >= max_ring or rounds >= max_proof_rounds
+        if final:
+            # empty-quadrant proofs need the whole extent anyway; the residue
+            # after one ring round is small enough to cross-join directly
             cands = remaining.crossJoin(right_cells.drop("__cell")).withColumn(
                 "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
             )
@@ -183,7 +196,7 @@ def quadrant_knn_join(
         best = cands.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop(
             "__rn"
         )
-        if ring >= max_ring:
+        if final:
             results.append(best)
             break
         best = best.persist()  # reused by proof, semi-join, and final union
