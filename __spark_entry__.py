@@ -304,7 +304,10 @@ def q_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subset keeps a realistic forest density while exercising the identical
     # distributed operator; exactness is covered by the parity tests.
     crowns = synth.crowns(spark, sf_dir).where(F.col("crown_key") % 5 == 0)
-    geo = generator.crowns_with_geometry(crowns)
+    # materialize the polygon build once — the NMS plan references `geo` four
+    # times (slim self-join, two WKB join-backs, final selected join) and
+    # would otherwise re-run the generator UDF for each
+    geo = generator.crowns_with_geometry(crowns).localCheckpoint(eager=True)
     # cell ~ crown diameter: in the dense strip a 50 m cell holds thousands of
     # crowns and the per-cell self-join explodes quadratically; 10 m keeps the
     # candidate count near the true bbox-overlap count (correctness is
@@ -324,7 +327,7 @@ def q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotreehealth_spark.operators import tiling, zonal
 
     crowns = synth.crowns(spark, sf_dir)
-    geo = generator.crowns_with_geometry(crowns)
+    geo = generator.crowns_with_geometry(crowns).localCheckpoint(eager=True)
     tiles = tiling.tile_grid(spark, extent=1000.0, tile_size=100.0, overlap=0.0).selectExpr(
         "tile_id", "txmin", "tymin", "txmax", "tymax",
         "concat('hsi://tile/', tile_id) AS media_ref",

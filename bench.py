@@ -63,6 +63,14 @@ def main() -> None:
     spark.range(100000).select(F.sum(_warm(F.col("id")))).collect()
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
+    def release_caches() -> None:
+        """Drop persisted DataFrames AND localCheckpoint RDDs between queries
+        so one query's working set doesn't GC-pressure the next."""
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -73,6 +81,7 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+        release_caches()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

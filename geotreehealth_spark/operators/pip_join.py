@@ -87,18 +87,31 @@ def pip_assign_best(
 
     Reproduces assign_polygon_to_crown's selection semantics
     (tree_health_detection/utils.py:317: distance to crown centroid), with the
-    deterministic tie-break (dist, point_id).
-    """
-    from pyspark.sql.window import Window
+    deterministic tie-break (dist, point_id). Output: (poly_id, point_id,
+    dist_col) — one row per polygon that contains at least one point.
 
+    Physical plan: min(struct(dist, point_id)) AGGREGATION, not a row_number
+    window — Spark's partial (map-side) aggregation collapses each polygon's
+    candidate set before the shuffle, so shuffle volume is O(polygons), not
+    O(candidate pairs). On a window plan the full candidate stream would
+    shuffle; at dense-forest pair counts that is the job's bottleneck.
+    struct comparison is lexicographic on (dist asc, point_id asc) — exactly
+    the documented tie-break.
+    """
     cands = pip_join(
         points, polygons, cell_size, point_x, point_y, poly_wkb, poly_bounds
     ).withColumn(
         dist_col,
         distance_expr(F.col(point_x), F.col(point_y), F.col(center[0]), F.col(center[1])),
     )
-    w = Window.partitionBy(poly_id).orderBy(F.col(dist_col).asc(), F.col(point_id).asc())
-    return cands.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    best = cands.groupBy(poly_id).agg(
+        F.min(F.struct(F.col(dist_col), F.col(point_id))).alias("__best")
+    )
+    return best.select(
+        poly_id,
+        F.col(f"__best.{point_id}").alias(point_id),
+        F.col(f"__best.{dist_col}").alias(dist_col),
+    )
 
 
 def distance_expr(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:

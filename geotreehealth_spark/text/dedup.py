@@ -144,7 +144,10 @@ def minhash_lsh_pairs(
     so collisions drive the join, never the cross product.
     """
     rows = n_perm // bands
-    sigs = minhash_signatures(docs, n_perm, id_col, text_col)
+    # materialize signatures before banding: the band expressions index the
+    # signature array n_perm times and Catalyst would otherwise inline (and
+    # re-run) the MinHash UDF once per extraction
+    sigs = minhash_signatures(docs, n_perm, id_col, text_col).localCheckpoint(eager=True)
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(

