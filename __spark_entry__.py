@@ -255,7 +255,10 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotreehealth_spark.text import dedup as tdedup
 
     docs = _documents(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
-    return tdedup.jaccard_pairs(docs, threshold=0.5)
+    # max_df caps hot-token posting lists (VERDICT.md "What's wrong" 5): one
+    # corpus-scale stop token would otherwise drive the token self-join
+    # quadratic; 50 docs/token is far above any true near-dup token here
+    return tdedup.jaccard_pairs(docs, threshold=0.5, max_df=50)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,28 +271,44 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: banded MinHash-LSH candidate pairs (pytest covers parity)."""
+    """Banded MinHash-LSH candidate pairs (exact SQL oracle: shared-dialect
+    md5-derived token hashing + identical int64 permutation arithmetic)."""
     from geotreehealth_spark.text import dedup as tdedup
 
     return tdedup.minhash_lsh_pairs(_documents(spark, sf_dir), n_perm=64, bands=16)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash near-dup pairs (hamming <= 12 on word-soup docs)."""
+    """SimHash near-dup pairs, hamming <= 3. The oracle is BRUTE FORCE over
+    all pairs, so a green row certifies the pigeonhole blocking's exact recall
+    (round-1 shipped max_hamming=12 on 4 chunks — guaranteed only to 3)."""
     from geotreehealth_spark.text import dedup as tdedup
 
-    return tdedup.simhash_dedup_pairs(_documents(spark, sf_dir), max_hamming=12)
+    return tdedup.simhash_dedup_pairs(_documents(spark, sf_dir), max_hamming=3)
 
 
 def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: random-hyperplane LSH embedding near-dup pairs."""
+    """OR-amplified random-hyperplane LSH near-dup pairs + exact cosine refine
+    (8 tables x 6 planes; oracle replicates the buckets from the same plane
+    constants). Random 64-d embeddings top out near cosine 0.5 → threshold 0.25."""
     from geotreehealth_spark.text import similarity
 
     synth.register_tpch_views(spark, sf_dir)
     emb = spark.table("embeddings")
-    # random 64-d embeddings: cross-pair cosine tops out ~0.5, so the
-    # near-dup threshold for the demo corpus sits at 0.25
-    return similarity.rp_lsh_pairs(emb, dim=64, n_planes=4, min_sim=0.25)
+    return similarity.rp_lsh_pairs(
+        emb, dim=64, n_tables=8, n_planes=6, min_sim=0.25
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (LSH candidates + exact cosine re-rank) — the scale path
+    composition for similarity search; exact top-k stays q_ann_cosine_topk."""
+    from geotreehealth_spark.text import similarity
+
+    synth.register_tpch_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.ann_lsh_topk(emb, probes, k=10, dim=64, n_tables=8, n_planes=6)
 
 
 def q_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "rp_lsh_pairs": q_rp_lsh_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "nms_greedy": q_nms_greedy,
         "zonal_raster": q_zonal_raster,
         "docs_decode_stems": q_docs_decode_stems,
@@ -615,10 +635,15 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "jaccard_pairs": r"""
             WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-            toks AS (
+            toks0 AS (
                 SELECT DISTINCT doc_id, t.tok AS token
                 FROM docs, UNNEST(string_split_regex(lower(text), '\s+')) AS t(tok)
                 WHERE t.tok <> ''
+            ),
+            toks AS (
+                SELECT * FROM toks0 WHERE token NOT IN (
+                    SELECT token FROM toks0 GROUP BY token HAVING COUNT(*) > 50
+                )
             ),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
             inter AS (
@@ -653,7 +678,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT stem_tag, x, y, dbh, year, status, crown_position, fad, site_id
             FROM stems
         """,
+        "minhash_lsh_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
+        "rp_lsh_pairs": _rp_lsh_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
     }
+
+
+def _minhash_oracle() -> str:
+    from geotreehealth_spark.text.dedup import minhash_lsh_pairs_oracle_sql
+
+    return minhash_lsh_pairs_oracle_sql(n_perm=64, bands=16)
+
+
+def _simhash_oracle() -> str:
+    from geotreehealth_spark.text.dedup import simhash_pairs_oracle_sql
+
+    return simhash_pairs_oracle_sql(max_hamming=3)
+
+
+def _rp_lsh_oracle() -> str:
+    from geotreehealth_spark.text.similarity import rp_lsh_pairs_oracle_sql
+
+    return rp_lsh_pairs_oracle_sql(dim=64, n_tables=8, n_planes=6, min_sim=0.25)
+
+
+def _ann_lsh_oracle() -> str:
+    from geotreehealth_spark.text.similarity import ann_lsh_topk_oracle_sql
+
+    return ann_lsh_topk_oracle_sql(probe_pred="vec_id % 50 = 0", k=10, dim=64, n_tables=8, n_planes=6)
 
 
 def _lang_id_oracle() -> str:

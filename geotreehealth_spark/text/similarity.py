@@ -1,21 +1,29 @@
-"""Embedding similarity search (brute-force + LSH-bucketed scale path).
+"""Embedding similarity search — exact top-k, OR-amplified RP-LSH, bucketed ANN.
 
-- cosine_topk: exact top-k cosine neighbors for a probe set. The dot product
-  runs as a JVM-side F.aggregate fold over zipped arrays (no Python); probes
-  are broadcast so the big side never shuffles.
-- rp_lsh_buckets / rp_lsh_topk: random-hyperplane LSH — sign bits of dot
-  products with fixed deterministic hyperplanes form a bucket key; candidate
-  pairs join per bucket. The 100-TB path: bucket join + exact re-rank beats
-  the cross product by the bucket collision factor.
+All JVM-side (round 2 removed the numpy rp-sign pandas UDF): dot products run
+as F.aggregate folds over zipped arrays, hyperplanes are literal arrays baked
+into the plan, and every query ships an exact DuckDB oracle built from the
+same plane constants (the fold's left-to-right summation order matches the
+oracle's explicit left-associated `+` chain, so the IEEE results are
+bit-identical).
+
+- cosine_topk: exact top-k cosine neighbors for a probe set; probes broadcast,
+  norms precomputed per side, and ONLY slim (probe, id, sim) rows enter the
+  ranking shuffle — the big side's vectors never shuffle.
+- rp_lsh_pairs: near-dup pairs via L OR-amplified hyperplane tables (round 1
+  had a single AND-bucket, flagged as recall-by-luck in VERDICT.md): candidate
+  iff the pair collides in ANY table, then exact cosine >= min_sim refine.
+- ann_lsh_topk: the 100-TB ANN composition VERDICT.md asked for — LSH bucket
+  candidate generation + exact cosine re-rank, k per probe.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 
@@ -48,59 +56,231 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per probe (excluding self).
 
-    probes: a (small) subset of the embeddings table; broadcast against the
-    full table — one scan, no shuffle of the big side, rank window per probe.
-    """
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pv")
+    Plan: norms precomputed on each side BEFORE the broadcast nested-loop join
+    (once per row, not once per pair); the rank window sees only
+    (probe_id, id, sim) — at |emb| x |probes| candidate volume the shuffle
+    carries ~24 bytes/row instead of the two 64-float vectors."""
+    e = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__v"),
+    ).withColumn("__n", _norm(F.col("__v")))
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__pv"),
+        )
+        .withColumn("__pn", _norm(F.col("__pv")))
     )
-    joined = embeddings.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
-    sim = cosine_expr(F.col("__pv"), F.col(vec_col))
-    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    joined = e.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+    sim = _dot(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
+    slim = joined.select("probe_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        joined.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w))
+        slim.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("probe_id", F.col(id_col).alias("neighbor_id"), "sim", "rank")
+        .select("probe_id", "neighbor_id", "sim", "rank")
     )
 
 
-def make_rp_sign_udf(dim: int, n_planes: int = 16):
-    """Deterministic random-hyperplane sign-bucket as int64."""
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (OR-amplified)
+# ---------------------------------------------------------------------------
+
+def rp_planes(dim: int, n_tables: int, n_planes: int) -> np.ndarray:
+    """Deterministic hyperplanes, shape (n_tables, n_planes, dim), seed 7."""
     rng = np.random.default_rng(7)
-    planes = rng.standard_normal((n_planes, dim))
+    return rng.standard_normal((n_tables, n_planes, dim))
 
-    @F.pandas_udf(LongType())
-    def rp_sign_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.asarray(vecs.tolist(), dtype=np.float64)
-        bits = (mat @ planes.T) > 0
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
 
-    return rp_sign_udf
+def _bucket_col(vec_col: Column, table_planes: np.ndarray) -> Column:
+    """Sign-bit bucket of one table: Σ 2^j · [dot(vec, plane_j) >= 0]."""
+    vd = F.transform(vec_col, lambda v: v.cast("double"))
+    bits = []
+    for j in range(table_planes.shape[0]):
+        lits = F.array(*[F.lit(float(p)) for p in table_planes[j]])
+        bits.append(F.when(_dot(vd, lits) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    return reduce(lambda x, y: x + y, bits).cast("long")
+
+
+def _bucketed(
+    df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str, id_alias: str
+) -> DataFrame:
+    """(id_alias, table_idx, bucket) — one row per (row, table)."""
+    exprs = [_bucket_col(F.col(vec_col), planes[t]) for t in range(planes.shape[0])]
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(F.array(*exprs)).alias("table_idx", "bucket"),
+    )
 
 
 def rp_lsh_pairs(
     embeddings: DataFrame,
     dim: int,
-    n_planes: int = 12,
+    n_tables: int = 8,
+    n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    min_sim: float = 0.9,
+    min_sim: float = 0.25,
 ) -> DataFrame:
-    """Near-duplicate embedding pairs: same LSH bucket AND cosine >= min_sim."""
-    udf = make_rp_sign_udf(dim, n_planes)
-    bucketed = embeddings.withColumn("__bucket", udf(F.col(vec_col)))
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
-    )
-    return (
-        a.join(b, "__bucket")
+    """Near-dup pairs: same bucket in ANY of the n_tables (OR-amplification),
+    then exact cosine >= min_sim. Vectors join back only for the deduped
+    candidate set, so the bucket join shuffles ids, not arrays."""
+    planes = rp_planes(dim, n_tables, n_planes)
+    a = _bucketed(embeddings, planes, id_col, vec_col, "id_a")
+    b = _bucketed(embeddings, planes, id_col, vec_col, "id_b")
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn("sim", cosine_expr(F.col("__va"), F.col("__vb")))
         .where(F.col("sim") >= min_sim)
         .select("id_a", "id_b", "sim")
     )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: LSH candidate generation + exact cosine re-rank.
+
+    The scale path for similarity search (VERDICT.md "the composition that
+    doesn't exist yet"): each probe meets only its bucket collisions — work is
+    |collisions|, not |emb| x |probes| — then cosine_topk-style re-rank over
+    the candidate set. Results are the exact top-k OF THE CANDIDATE SET (ANN
+    semantics); the oracle replicates the buckets so the gate is exact."""
+    planes = rp_planes(dim, n_tables, n_planes)
+    eb = _bucketed(embeddings, planes, id_col, vec_col, "neighbor_id")
+    pb = _bucketed(probes, planes, id_col, vec_col, "probe_id")
+    cand = (
+        eb.join(F.broadcast(pb), ["table_idx", "bucket"])
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pv"))
+    scored = (
+        cand.join(e, "neighbor_id")
+        .join(F.broadcast(p), "probe_id")
+        .withColumn("sim", cosine_expr(F.col("__pv"), F.col("__v")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select("probe_id", "neighbor_id", "sim")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (same plane constants, same summation order)
+# ---------------------------------------------------------------------------
+
+def _dot_duck(vec: str, plane: np.ndarray) -> str:
+    """Left-associated explicit sum — matches the engine fold's IEEE order."""
+    return " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * {float(p)!r}" for i, p in enumerate(plane)
+    )
+
+
+def _bucket_duck(vec: str, table_planes: np.ndarray) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_dot_duck(vec, table_planes[j])}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(table_planes.shape[0])
+    )
+
+
+def _buckets_duck_cte(
+    src_sql: str, planes: np.ndarray, id_col: str, vec_col: str, name: str
+) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {t} AS table_idx, CAST({_bucket_duck(vec_col, planes[t])} AS BIGINT)"
+        f" AS bucket FROM __src_{name}__"
+        for t in range(planes.shape[0])
+    )
+    return f"__src_{name}__ AS ({src_sql}),\n{name} AS ({selects})"
+
+
+def rp_lsh_pairs_oracle_sql(
+    src_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    min_sim: float = 0.25,
+) -> str:
+    planes = rp_planes(dim, n_tables, n_planes)
+    return f"""
+WITH {_buckets_duck_cte(src_sql, planes, 'vec_id', 'embedding', 'bk')},
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bk a JOIN bk b
+      ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM (
+    SELECT id_a, id_b,
+           list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                  CAST(eb.embedding AS DOUBLE[])) AS sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+) WHERE sim >= {min_sim}
+"""
+
+
+def ann_lsh_topk_oracle_sql(
+    probe_pred: str = "vec_id % 50 = 0",
+    k: int = 10,
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 6,
+) -> str:
+    planes = rp_planes(dim, n_tables, n_planes)
+    emb_cte = _buckets_duck_cte(
+        "SELECT vec_id, embedding FROM embeddings", planes, "vec_id", "embedding", "ebk"
+    )
+    probe_cte = _buckets_duck_cte(
+        f"SELECT vec_id, embedding FROM embeddings WHERE {probe_pred}",
+        planes,
+        "vec_id",
+        "embedding",
+        "pbk",
+    )
+    return f"""
+WITH {emb_cte},
+{probe_cte},
+cand AS (
+    SELECT DISTINCT p.vec_id AS probe_id, e.vec_id AS neighbor_id
+    FROM ebk e JOIN pbk p
+      ON e.table_idx = p.table_idx AND e.bucket = p.bucket AND e.vec_id <> p.vec_id
+)
+SELECT probe_id, neighbor_id, sim, rank FROM (
+    SELECT probe_id, neighbor_id, sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM (
+        SELECT probe_id, neighbor_id,
+               list_cosine_similarity(CAST(ep.embedding AS DOUBLE[]),
+                                      CAST(en.embedding AS DOUBLE[])) AS sim
+        FROM cand
+        JOIN embeddings ep ON ep.vec_id = probe_id
+        JOIN embeddings en ON en.vec_id = neighbor_id
+    )
+) WHERE rank <= {k}
+"""
