@@ -311,32 +311,54 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, probes, k=10, dim=64, n_tables=8, n_planes=6)
 
 
+NMS_SUBSET_SQL = (
+    "SELECT crown_id, score, xmin, ymin, xmax, ymax FROM crowns WHERE crown_key % 5 = 0"
+)
+WNMS_SUBSET_SQL = """
+    SELECT c.crown_id, c.xmin, c.ymin, c.xmax, c.ymax,
+           CAST(s.crown_position AS DOUBLE) + s.dbh AS priority
+    FROM crowns c JOIN stems s ON c.stem_tag = s.stem_tag
+    WHERE c.crown_key % 3 = 0
+"""
+
+
 def q_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: exact distributed greedy NMS over WKB crown polygons
-    (sequential parity proven in tests/test_spatial_parity.py)."""
-    from geotreehealth_spark.docs import generator
+    """W3: exact distributed greedy NMS, box criterion → full SQL oracle (the
+    fixpoint unrolled as chained CTEs). The irregular-polygon WKB path runs the
+    same fixpoint and keeps its sequential-parity pytest coverage
+    (tests/test_spatial_parity.py)."""
     from geotreehealth_spark.operators import nms
 
     # 1-in-5 subset: the full synthetic corpus packs 2.4 crowns/m^2 in the hot
     # strip (every crown overlapping ~200 others) — an adversarial density no
-    # real delineation produces and inherently Θ(n·k) ≈ 10^9 exact pairs. The
-    # subset keeps a realistic forest density while exercising the identical
-    # distributed operator; exactness is covered by the parity tests.
+    # real delineation produces and inherently Θ(n·k) ≈ 10^9 exact pairs.
     crowns = synth.crowns(spark, sf_dir).where(F.col("crown_key") % 5 == 0)
-    # materialize the polygon build once — the NMS plan references `geo` four
-    # times (slim self-join, two WKB join-backs, final selected join) and
-    # would otherwise re-run the generator UDF for each
-    geo = generator.crowns_with_geometry(crowns).localCheckpoint(eager=True)
     # cell ~ crown diameter: in the dense strip a 50 m cell holds thousands of
-    # crowns and the per-cell self-join explodes quadratically; 10 m keeps the
-    # candidate count near the true bbox-overlap count (correctness is
-    # cell-size-independent — pairs are exact either way)
+    # crowns; 10 m keeps the candidate count near the true bbox-overlap count
     out = nms.greedy_nms(
-        geo, id_col="crown_id", score_col="score", threshold=0.3,
-        cell_size=10.0, bounds=("gxmin", "gymin", "gxmax", "gymax"),
-        wkb_col="geometry_wkb",
+        crowns, id_col="crown_id", score_col="score", threshold=0.3,
+        cell_size=10.0, bounds=("xmin", "ymin", "xmax", "ymax"), wkb_col=None,
     )
     return out.select("crown_id", "selected")
+
+
+def q_weighted_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: weighted NMS — score = (crwnpst + DBH) - Σ quantized overlap
+    penalty (batch_sam.py:692-731, 579-580), box IoU > 0.5 criterion."""
+    from geotreehealth_spark.operators import nms
+
+    crowns = synth.crowns(spark, sf_dir).where(F.col("crown_key") % 3 == 0)
+    stems = synth.stems(spark, sf_dir).select(
+        "stem_tag", (F.col("crown_position").cast("double") + F.col("dbh")).alias("priority")
+    )
+    polys = crowns.join(stems, "stem_tag").select(
+        "crown_id", "xmin", "ymin", "xmax", "ymax", "priority"
+    )
+    out = nms.weighted_nms(
+        polys, id_col="crown_id", priority_col="priority", threshold=0.5,
+        cell_size=10.0, criterion="iou",
+    )
+    return out.select("crown_id", "wscore", "selected")
 
 
 def q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_lsh_pairs": q_rp_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "nms_greedy": q_nms_greedy,
+        "weighted_nms": q_weighted_nms,
         "zonal_raster": q_zonal_raster,
         "docs_decode_stems": q_docs_decode_stems,
     }
@@ -678,11 +701,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT stem_tag, x, y, dbh, year, status, crown_position, fad, site_id
             FROM stems
         """,
+        "nms_greedy": _nms_oracle(),
+        "weighted_nms": _weighted_nms_oracle(),
         "minhash_lsh_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "rp_lsh_pairs": _rp_lsh_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
     }
+
+
+def _nms_oracle() -> str:
+    from geotreehealth_spark.operators.nms import greedy_nms_box_oracle_sql
+
+    polys = synth.oracle_with(("crowns", V["crowns"])) + NMS_SUBSET_SQL
+    return greedy_nms_box_oracle_sql(
+        polys, id_col="crown_id", score_col="score", threshold=0.3,
+        criterion="overlap_ratio", rounds=40,
+    )
+
+
+def _weighted_nms_oracle() -> str:
+    from geotreehealth_spark.operators.nms import weighted_nms_box_oracle_sql
+
+    polys = (
+        synth.oracle_with(("stems", V["stems"]), ("crowns", V["crowns"]))
+        + WNMS_SUBSET_SQL
+    )
+    return weighted_nms_box_oracle_sql(
+        polys, id_col="crown_id", priority_col="priority", threshold=0.5,
+        criterion="iou", rounds=40,
+    )
 
 
 def _minhash_oracle() -> str:

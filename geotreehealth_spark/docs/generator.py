@@ -71,6 +71,7 @@ _CROWN_GEO_TYPE = StructType(
         StructField("ymin", DoubleType()),
         StructField("xmax", DoubleType()),
         StructField("ymax", DoubleType()),
+        StructField("area", DoubleType()),
     ]
 )
 
@@ -79,7 +80,7 @@ _CROWN_GEO_TYPE = StructType(
 def crown_geo_udf(
     key: pd.Series, cx: pd.Series, cy: pd.Series, radius: pd.Series
 ) -> pd.DataFrame:
-    wkbs, xmin, ymin, xmax, ymax = [], [], [], [], []
+    wkbs, xmin, ymin, xmax, ymax, area = [], [], [], [], [], []
     for k, x, y, r in zip(key, cx, cy, radius):
         ring = crown_polygon_ring(int(k), float(x), float(y), float(r))
         wkbs.append(wkb.encode_polygon(ring))
@@ -89,8 +90,11 @@ def crown_geo_udf(
         ymin.append(mn[1])
         xmax.append(mx[0])
         ymax.append(mx[1])
+        # true polygon area alongside the bbox: greedy_nms's sound JVM prune
+        # (box_inter / max(poly_area) > threshold) needs it
+        area.append(kernels.polygon_area(ring))
     return pd.DataFrame(
-        {"wkb": wkbs, "xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax}
+        {"wkb": wkbs, "xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax, "area": area}
     )
 
 
@@ -126,6 +130,7 @@ def crowns_with_geometry(crowns: DataFrame) -> DataFrame:
         .withColumn("gymin", F.col("__g.ymin"))
         .withColumn("gxmax", F.col("__g.xmax"))
         .withColumn("gymax", F.col("__g.ymax"))
+        .withColumn("garea", F.col("__g.area"))
         .drop("__g")
     )
 

@@ -22,7 +22,8 @@ def crowns_geo_pd(spark):
     crowns = synth.crowns(spark, SF_DIR)
     geo = generator.crowns_with_geometry(crowns)
     pdf = geo.select(
-        "crown_id", "crown_key", "score", "geometry_wkb", "gxmin", "gymin", "gxmax", "gymax"
+        "crown_id", "crown_key", "score", "geometry_wkb",
+        "gxmin", "gymin", "gxmax", "gymax", "garea",
     ).toPandas()
     return pdf
 
@@ -105,6 +106,7 @@ def test_greedy_nms_parity(spark, crowns_geo_pd):
             cell_size=50.0,
             bounds=("gxmin", "gymin", "gxmax", "gymax"),
             wkb_col="geometry_wkb",
+            area_col="garea",  # sound JVM prune: box_inter / max(poly_area)
         )
         .select("crown_id", "selected")
         .toPandas()
@@ -116,3 +118,85 @@ def test_greedy_nms_parity(spark, crowns_geo_pd):
     # sanity: suppression actually happened
     n_suppressed = sum(1 for v in expected.values() if not v)
     assert n_suppressed > 50
+
+
+def test_greedy_nms_distributed_fixpoint_matches_driver_path(spark, crowns_geo_pd):
+    """driver_fixpoint_max=0 forces the join-based fixpoint; results must be
+    identical to the driver-local numpy path (same subset as parity test)."""
+    pdf = crowns_geo_pd[
+        (crowns_geo_pd.gxmin < 60.0) & (crowns_geo_pd.gymin < 300.0)
+    ].reset_index(drop=True)
+    geo = spark.createDataFrame(pdf)
+    kwargs = dict(
+        id_col="crown_id", score_col="score", threshold=0.3, cell_size=50.0,
+        bounds=("gxmin", "gymin", "gxmax", "gymax"), wkb_col="geometry_wkb",
+        area_col="garea",
+    )
+    a = nms.greedy_nms(geo, **kwargs).select("crown_id", "selected").toPandas()
+    b = (
+        nms.greedy_nms(geo, driver_fixpoint_max=0, **kwargs)
+        .select("crown_id", "selected")
+        .toPandas()
+    )
+    ma = dict(zip(a.crown_id, a.selected))
+    mb = dict(zip(b.crown_id, b.selected))
+    assert ma == mb and len(ma) == len(pdf)
+
+
+def sequential_weighted_nms(pdf, threshold):
+    """Python oracle of batch_sam.py:699-731 over boxes with the engine's
+    quantized penalty (micro-units)."""
+    import itertools
+
+    def iou(a, b):
+        iw = min(a.xmax, b.xmax) - max(a.xmin, b.xmin)
+        ih = min(a.ymax, b.ymax) - max(a.ymin, b.ymin)
+        inter = max(iw, 0.0) * max(ih, 0.0)
+        aa = (a.xmax - a.xmin) * (a.ymax - a.ymin)
+        ab = (b.xmax - b.xmin) * (b.ymax - b.ymin)
+        return inter / (aa + ab - inter)
+
+    rows = list(pdf.itertuples())
+    pen = {r.crown_id: 0 for r in rows}
+    for a, b in itertools.combinations(rows, 2):
+        m = iou(a, b)
+        if m > threshold:
+            q = int(np.round(m * 1e6))
+            pen[a.crown_id] += q
+            pen[b.crown_id] += q
+    score = {r.crown_id: r.priority - pen[r.crown_id] / 1e6 for r in rows}
+    order = sorted(rows, key=lambda r: (-score[r.crown_id], r.crown_id))
+    kept, selected = [], {}
+    for r in order:
+        ok = all(iou(r, k) <= threshold for k in kept)
+        selected[r.crown_id] = ok
+        if ok:
+            kept.append(r)
+    return selected, score
+
+
+def test_weighted_nms_parity(spark):
+    crowns = synth.crowns(spark, SF_DIR).where(F.col("crown_key") % 3 == 0)
+    stems = synth.stems(spark, SF_DIR).select(
+        "stem_tag", (F.col("crown_position").cast("double") + F.col("dbh")).alias("priority")
+    )
+    polys = crowns.join(stems, "stem_tag").select(
+        "crown_id", "xmin", "ymin", "xmax", "ymax", "priority"
+    )
+    pdf = polys.toPandas()
+    expected, exp_score = sequential_weighted_nms(pdf, threshold=0.5)
+    got = (
+        nms.weighted_nms(
+            polys, id_col="crown_id", priority_col="priority", threshold=0.5,
+            cell_size=10.0, criterion="iou",
+        )
+        .select("crown_id", "wscore", "selected")
+        .toPandas()
+    )
+    got_sel = dict(zip(got.crown_id, got.selected))
+    got_score = dict(zip(got.crown_id, got.wscore))
+    assert len(got_sel) == len(expected)
+    for cid in expected:
+        assert abs(got_score[cid] - exp_score[cid]) < 1e-12, cid
+        assert bool(got_sel[cid]) == expected[cid], cid
+    assert sum(1 for v in expected.values() if not v) > 20
