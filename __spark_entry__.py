@@ -212,6 +212,113 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containing_else_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per stem, largest containing crown; else nearest-centroid crown
+    (get_polygons.py:100-111, 766-777)."""
+    from geotreehealth_spark.operators import matching
+
+    stems = synth.stems(spark, sf_dir).where(F.col("stem_key") % 20 == 0)
+    crowns = synth.crowns(spark, sf_dir).drop("stem_tag")
+    out = matching.containing_else_nearest(
+        stems, crowns, point_id="stem_tag", poly_id="crown_id", area_col="ca",
+        cell_size=25.0, poly_wkb=None,
+    )
+    return out.select("stem_tag", "crown_id", "method")
+
+
+def q_feature_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: equal-tag feature-space NN match under a distance threshold
+    (delineation_utils.py:372-398 align_data)."""
+    from geotreehealth_spark.operators import matching
+
+    stems = synth.stems(spark, sf_dir).select(
+        "stem_tag",
+        "stem_key",
+        (F.col("dbh") / F.lit(10.0)).alias("lf1"),
+        F.col("crown_position").cast("double").alias("lf2"),
+    )
+    crowns = synth.crowns(spark, sf_dir).where(F.col("stem_tag").isNotNull()).select(
+        "stem_tag",
+        "crown_id",
+        F.col("radius").alias("rf1"),
+        (F.col("score") * F.lit(5.0)).alias("rf2"),
+    )
+    out = matching.feature_nn_match(
+        stems, crowns, tag_col="stem_tag", left_id="stem_key", right_id="crown_id",
+        feature_pairs=[("lf1", "rf1"), ("lf2", "rf2")], threshold=1.5,
+    )
+    return out.select(F.col("stem_key").cast("long").alias("stem_key"), "crown_id", "fdist")
+
+
+def q_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: distances between stems sharing a dup_tag
+    (delineation_utils.py:62-90 calculate_distances)."""
+    from geotreehealth_spark.operators import matching
+
+    stems = synth.stems(spark, sf_dir)
+    return matching.same_tag_pair_distances(
+        stems, stems, tag_col="dup_tag", left_id="stem_tag", right_id="stem_tag",
+        dedup_self=True,
+    )
+
+
+def q_random_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: 5 deterministic pseudo-random crowns per probe stem
+    (get_polygons.py:331-332 with RNG replaced by an integer hash)."""
+    from geotreehealth_spark.operators import matching
+
+    stems = synth.stems(spark, sf_dir).where(F.col("stem_key") % 200 == 0).select(
+        "stem_tag", "stem_key"
+    )
+    crowns = synth.crowns(spark, sf_dir).select("crown_id", "crown_key")
+    return matching.random_k_sample(
+        stems, crowns, k=5, left_id="stem_tag", right_id="crown_id",
+        left_key="stem_key", right_key="crown_key",
+    )
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 closer: 70/15/15 split stratified on (site, recoded status)
+    (main.py:187-189), deterministic hash order."""
+    s = _recoded_stems(spark, sf_dir)
+    order = F.pmod(F.col("stem_key") * F.lit(2654435761), F.lit(1000000007))
+    out = rebalance.stratified_split(
+        s, strata_cols=["site_id", "status_r"], order_cols=[order, F.col("stem_key")]
+    )
+    return out.select("stem_tag", "site_id", "status_r", "split")
+
+
+def q_percentile_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: rank-based 2-98 percentile stretch of lidar z and red channels
+    (main.py:53-61, store_data_structures.py:84-88)."""
+    lidar = synth.lidar(spark, sf_dir).where(F.col("point_id") % 20 == 0)
+    out = aggregates.percentile_stretch(lidar, ["z", "red"], lo=0.02, hi=0.98)
+    return out.select("point_id", "z_stretch", "red_stretch")
+
+
+def q_group_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per stem_tag, first crown under (score desc, crown_id) order
+    (delineation_utils.py:453)."""
+    crowns = synth.crowns(spark, sf_dir).where(F.col("stem_tag").isNotNull())
+    out = aggregates.first_by_order(
+        crowns, key="stem_tag", order_cols=[F.col("score").desc(), F.col("crown_id").asc()]
+    )
+    return out.select("stem_tag", "crown_id", "score")
+
+
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: distinct recoded-status classes per site."""
+    s = _recoded_stems(spark, sf_dir)
+    return aggregates.distinct_count(s, key="site_id", value="status_r")
+
+
+def q_drop_smallest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6: drop the smallest 10% of stems by DBH per site (percent_rank)."""
+    stems = synth.stems(spark, sf_dir)
+    out = aggregates.drop_smallest_fraction(stems, key="site_id", value="dbh", frac=0.1)
+    return out.select("site_id", "stem_tag", "dbh")
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -362,21 +469,109 @@ def q_weighted_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: per-crown HSI band stats over synthetic tiles
-    (numpy-oracle parity in tests/test_zonal.py)."""
-    from geotreehealth_spark.docs import generator
+    """A6: per-crown band stats through the FULL zonal path (tile assignment,
+    count-proportional salting, applyInPandas rasterize, partial merge) —
+    exact SQL oracle: crown footprints are boxes snapped to the 0.25 grid
+    (every decision boundary lands a quarter-pixel away from pixel centers,
+    so all arithmetic is exact in both engines) over constant-per-band hsic
+    tiles whose zonal means are closed-form. Irregular-polygon/random-cube
+    parity stays in tests/test_zonal.py."""
     from geotreehealth_spark.operators import tiling, zonal
+    from geotreehealth_spark.operators.udfs import box_wkb_udf
 
     crowns = synth.crowns(spark, sf_dir)
-    geo = generator.crowns_with_geometry(crowns).localCheckpoint(eager=True)
+    boxed = crowns.select(
+        "crown_id",
+        (F.floor("xmin") + 0.25).alias("bxmin"),
+        (F.floor("ymin") + 0.25).alias("bymin"),
+        (F.floor("xmax") + 0.25).alias("bxmax"),
+        (F.floor("ymax") + 0.25).alias("bymax"),
+    )
+    geo = boxed.withColumn(
+        "geometry_wkb",
+        box_wkb_udf(F.col("bxmin"), F.col("bymin"), F.col("bxmax"), F.col("bymax")),
+    )
     tiles = tiling.tile_grid(spark, extent=1000.0, tile_size=100.0, overlap=0.0).selectExpr(
         "tile_id", "txmin", "tymin", "txmax", "tymax",
-        "concat('hsi://tile/', tile_id) AS media_ref",
-        "12 AS bands", "100 AS height", "100 AS width",
+        "concat('hsic://tile/', CAST(tile_key AS STRING)) AS media_ref",
+        "8 AS bands", "100 AS height", "100 AS width", "tile_key",
     )
-    out = zonal.zonal_raster_stats(geo, tiles)
+    out = zonal.zonal_raster_stats(
+        geo, tiles, crown_bounds=("bxmin", "bymin", "bxmax", "bymax"), n_bands=8
+    )
     return out.select(
-        "crown_id", "n_px", F.col("band_mean")[0].alias("band0_mean")
+        "crown_id",
+        "n_px",
+        F.col("band_mean")[0].alias("band0_mean"),
+        F.col("band_mean")[7].alias("band7_mean"),
+    )
+
+
+RECTS_SQL = """
+    SELECT stem_tag AS mask_id,
+           (stem_key * 7) % 60 AS ar0, (stem_key * 13) % 60 AS ac0,
+           10 + (stem_key % 17) AS ah, 8 + (stem_key % 23) AS aw,
+           (stem_key * 11) % 70 AS br0, (stem_key * 19) % 70 AS bc0,
+           6 + (stem_key % 13) AS bh, 12 + (stem_key % 11) AS bw
+    FROM stems WHERE stem_key % 50 = 0
+"""
+
+
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector: mask → per-component polygons (get_polygons.py:75-111,
+    batch_sam.py:496-548) through the full mapInPandas path, aggregated to
+    (mask_id, n_polys, total_px, max_area) whose closed forms the oracle
+    rebuilds from the two-rectangle mask construction."""
+    from geotreehealth_spark.docs import generator
+    from geotreehealth_spark.operators import vectorize
+
+    synth.register_tpch_views(spark, sf_dir)
+    rects = spark.sql(RECTS_SQL.replace("FROM stems", f"FROM ({synth.STEMS_SQL})"))
+    masks = rects.select(
+        "mask_id",
+        generator.two_rect_mask_udf(
+            "ar0", "ac0", "ah", "aw", "br0", "bc0", "bh", "bw"
+        ).alias("mask_bits"),
+        F.lit(100).alias("height"),
+        F.lit(100).alias("width"),
+        F.lit(0.0).alias("txmin"),
+        F.lit(100.0).alias("tymax"),
+    )
+    parts = vectorize.polygonize_masks(masks)
+    return parts.groupBy("mask_id").agg(
+        F.count("*").cast("long").alias("n_polys"),
+        F.sum("n_px").alias("total_px"),
+        F.max("area").alias("max_area"),
+    )
+
+
+def q_geometric_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-cell unary_union of integer-snapped crown boxes
+    (from_mask_to_polygons.py:34-41) — output (gid, n_parts, union_px); the
+    oracle counts union pixels by enumeration and components by recursive
+    min-label propagation over the box-adjacency graph."""
+    from geotreehealth_spark.operators import vectorize
+    from geotreehealth_spark.operators.udfs import box_wkb_udf
+
+    crowns = synth.crowns(spark, sf_dir).where(F.col("crown_key") % 20 == 1)
+    boxed = crowns.select(
+        F.concat_ws(
+            "_",
+            F.floor(F.col("cx") / 50).cast("long"),
+            F.floor(F.col("cy") / 50).cast("long"),
+        ).alias("gid"),
+        F.floor("xmin").cast("double").alias("x0"),
+        F.floor("ymin").cast("double").alias("y0"),
+        (F.floor("xmax") + 1).cast("double").alias("x1"),
+        (F.floor("ymax") + 1).cast("double").alias("y1"),
+    )
+    geo = boxed.withColumn(
+        "geometry_wkb", box_wkb_udf(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+    )
+    parts = vectorize.geometric_union(geo, group_col="gid", res=1.0)
+    return parts.groupBy("gid").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("n_px").alias("union_px"),
     )
 
 
@@ -419,6 +614,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_lidar": q_zonal_lidar,
         "zonal_percentiles": q_zonal_percentiles,
         "overlap_pairs": q_overlap_pairs,
+        "containing_else_nearest": q_containing_else_nearest,
+        "feature_nn": q_feature_nn,
+        "pair_distances": q_pair_distances,
+        "random_k_sample": q_random_k_sample,
+        "stratified_split": q_stratified_split,
+        "percentile_stretch": q_percentile_stretch,
+        "group_first": q_group_first,
+        "distinct_count": q_distinct_count,
+        "drop_smallest": q_drop_smallest,
+        "polygonize": q_polygonize,
+        "geometric_union": q_geometric_union,
         "tpch_q1": q_tpch_q1,
         "topk_orders": q_topk_orders,
         "dedup_exact": q_dedup_exact,
@@ -605,6 +811,128 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.crown_key % 97 = 0
             ) WHERE iou > 0.3e0
         """,
+        "containing_else_nearest": W(stems, crowns) + f"""
+            , probes AS (SELECT * FROM stems WHERE stem_key % 20 = 0),
+            contained AS (
+                SELECT stem_tag, crown_id, 'contained' AS method FROM (
+                    SELECT s.stem_tag, c.crown_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.stem_tag ORDER BY c.ca DESC, c.crown_id
+                           ) AS rn
+                    FROM probes s JOIN crowns c
+                      ON s.x >= c.xmin AND s.x < c.xmax
+                     AND s.y >= c.ymin AND s.y < c.ymax
+                ) WHERE rn = 1
+            ),
+            residue AS (
+                SELECT * FROM probes
+                WHERE stem_tag NOT IN (SELECT stem_tag FROM contained)
+            ),
+            nearest AS (
+                SELECT stem_tag, crown_id, 'nearest' AS method FROM (
+                    SELECT s.stem_tag, c.crown_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.stem_tag ORDER BY {DIST_SQL}, c.crown_id
+                           ) AS rn
+                    FROM residue s CROSS JOIN crowns c
+                ) WHERE rn = 1
+            )
+            SELECT * FROM contained UNION ALL SELECT * FROM nearest
+        """,
+        "feature_nn": W(stems, crowns) + """
+            , l AS (SELECT stem_tag, stem_key, dbh / 10e0 AS lf1,
+                           CAST(crown_position AS DOUBLE) AS lf2 FROM stems),
+            r AS (SELECT stem_tag, crown_id, radius AS rf1, score * 5e0 AS rf2
+                  FROM crowns WHERE stem_tag IS NOT NULL)
+            SELECT stem_key, crown_id, fdist FROM (
+                SELECT l.stem_key, r.crown_id,
+                       SQRT((l.lf1 - r.rf1) * (l.lf1 - r.rf1)
+                            + (l.lf2 - r.rf2) * (l.lf2 - r.rf2)) AS fdist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l.stem_key
+                           ORDER BY SQRT((l.lf1 - r.rf1) * (l.lf1 - r.rf1)
+                                         + (l.lf2 - r.rf2) * (l.lf2 - r.rf2)),
+                                    r.crown_id
+                       ) AS rn
+                FROM l JOIN r ON l.stem_tag = r.stem_tag
+            ) WHERE rn = 1 AND fdist < 1.5e0
+        """,
+        "pair_distances": W(stems) + """
+            SELECT a.dup_tag, a.stem_tag AS stem_tag_a, b.stem_tag AS stem_tag_b,
+                   SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                       AS distance
+            FROM stems a JOIN stems b
+              ON a.dup_tag = b.dup_tag AND a.stem_tag < b.stem_tag
+        """,
+        "random_k_sample": W(stems, crowns) + """
+            SELECT stem_tag, crown_id, draw_rank FROM (
+                SELECT s.stem_tag, c.crown_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY s.stem_tag
+                           ORDER BY (s.stem_key * 48271 + c.crown_key * 40503) % 1000003,
+                                    c.crown_id
+                       ) AS INT) AS draw_rank
+                FROM stems s CROSS JOIN crowns c
+                WHERE s.stem_key % 200 = 0
+            ) WHERE draw_rank <= 5
+        """,
+        "stratified_split": W(stems, recoded) + """
+            SELECT stem_tag, site_id, status_r,
+                   CASE WHEN rn <= CEIL(0.7e0 * n) THEN 'train'
+                        WHEN rn <= CEIL(0.85e0 * n) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT stem_tag, site_id, status_r,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY site_id, status_r
+                           ORDER BY (stem_key * 2654435761) % 1000000007, stem_key
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY site_id, status_r) AS n
+                FROM stems_r
+            )
+        """,
+        "percentile_stretch": W(lidar) + """
+            , l AS (SELECT * FROM lidar WHERE point_id % 20 = 0),
+            kb AS (
+                SELECT GREATEST(1, CAST(CEIL(0.02e0 * COUNT(*)) AS BIGINT)) AS klo,
+                       GREATEST(1, CAST(CEIL(0.98e0 * COUNT(*)) AS BIGINT)) AS khi
+                FROM l
+            ),
+            zr AS (SELECT z, ROW_NUMBER() OVER (ORDER BY z) AS rn FROM l),
+            rr AS (SELECT red, ROW_NUMBER() OVER (ORDER BY red) AS rn FROM l),
+            zb AS (SELECT
+                     (SELECT z FROM zr, kb WHERE rn = klo) AS zlo,
+                     (SELECT z FROM zr, kb WHERE rn = khi) AS zhi,
+                     (SELECT red FROM rr, kb WHERE rn = klo) AS rlo,
+                     (SELECT red FROM rr, kb WHERE rn = khi) AS rhi)
+            SELECT point_id,
+                   CASE WHEN zhi = zlo THEN 0e0 ELSE
+                       LEAST(GREATEST((z - zlo) / (zhi - zlo), 0e0), 1e0) END AS z_stretch,
+                   CASE WHEN rhi = rlo THEN 0e0 ELSE
+                       LEAST(GREATEST((red - rlo) / (CAST(rhi AS DOUBLE) - rlo), 0e0), 1e0) END
+                       AS red_stretch
+            FROM l, zb
+        """,
+        "group_first": W(crowns) + """
+            SELECT stem_tag, crown_id, score FROM (
+                SELECT stem_tag, crown_id, score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY stem_tag ORDER BY score DESC, crown_id
+                       ) AS rn
+                FROM crowns WHERE stem_tag IS NOT NULL
+            ) WHERE rn = 1
+        """,
+        "distinct_count": W(stems, recoded) + """
+            SELECT site_id, COUNT(DISTINCT status_r) AS n_distinct
+            FROM stems_r GROUP BY site_id
+        """,
+        "drop_smallest": W(stems) + """
+            SELECT site_id, stem_tag, dbh FROM (
+                SELECT site_id, stem_tag, dbh,
+                       PERCENT_RANK() OVER (PARTITION BY site_id ORDER BY dbh) AS pr
+                FROM stems
+            ) WHERE pr >= 0.1e0
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -701,6 +1029,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT stem_tag, x, y, dbh, year, status, crown_position, fad, site_id
             FROM stems
         """,
+        "polygonize": W(stems) + f"""
+            , rects AS ({RECTS_SQL.replace('FROM stems WHERE', 'FROM stems WHERE')}),
+            m AS (
+                SELECT mask_id, ah * aw AS apx, bh * bw AS bpx,
+                       LEAST(ar0 + ah, br0 + bh) - GREATEST(ar0, br0) AS rov,
+                       LEAST(ac0 + aw, bc0 + bw) - GREATEST(ac0, bc0) AS cov
+                FROM rects
+            )
+            SELECT mask_id,
+                   CAST(CASE WHEN rov >= 0 AND cov >= 0 AND (rov > 0 OR cov > 0)
+                             THEN 1 ELSE 2 END AS BIGINT) AS n_polys,
+                   CAST(apx + bpx - GREATEST(rov, 0) * GREATEST(cov, 0) AS BIGINT)
+                       AS total_px,
+                   CAST(CASE WHEN rov >= 0 AND cov >= 0 AND (rov > 0 OR cov > 0)
+                             THEN apx + bpx - GREATEST(rov, 0) * GREATEST(cov, 0)
+                             ELSE GREATEST(apx, bpx) END AS DOUBLE) AS max_area
+            FROM m
+        """,
+        "geometric_union": _geometric_union_oracle(),
+        "zonal_raster": _zonal_raster_oracle(),
         "nms_greedy": _nms_oracle(),
         "weighted_nms": _weighted_nms_oracle(),
         "minhash_lsh_pairs": _minhash_oracle(),
@@ -708,6 +1056,95 @@ def oracle_sql() -> dict[str, str]:
         "rp_lsh_pairs": _rp_lsh_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
     }
+
+
+def _geometric_union_oracle() -> str:
+    """Union pixel count by per-box pixel enumeration + DISTINCT; component
+    count by recursive min-label propagation over the 4-adjacency box graph
+    (equivalent to the engine's mask connectivity: boxes are 4-connected in
+    the union mask iff their integer ranges overlap in one axis and
+    touch-or-overlap in the other)."""
+    return f"""
+WITH RECURSIVE crowns AS ({V['crowns']}),
+boxes AS (
+    SELECT CAST(CAST(FLOOR(cx / 50) AS BIGINT) AS VARCHAR) || '_'
+               || CAST(CAST(FLOOR(cy / 50) AS BIGINT) AS VARCHAR) AS gid,
+           crown_id AS bid,
+           CAST(FLOOR(xmin) AS BIGINT) AS x0, CAST(FLOOR(ymin) AS BIGINT) AS y0,
+           CAST(FLOOR(xmax) AS BIGINT) + 1 AS x1, CAST(FLOOR(ymax) AS BIGINT) + 1 AS y1
+    FROM crowns WHERE crown_key % 20 = 1
+),
+bxx AS (SELECT gid, bid, UNNEST(generate_series(x0, x1 - 1)) AS cx FROM boxes),
+bxy AS (SELECT gid, bid, UNNEST(generate_series(y0, y1 - 1)) AS cy FROM boxes),
+cov AS (SELECT DISTINCT a.gid, a.cx, b.cy
+        FROM bxx a JOIN bxy b ON a.gid = b.gid AND a.bid = b.bid),
+upx AS (SELECT gid, COUNT(*) AS union_px FROM cov GROUP BY gid),
+edges AS (
+    SELECT a.gid, a.bid AS ea, b.bid AS eb
+    FROM boxes a JOIN boxes b ON a.gid = b.gid AND a.bid <> b.bid
+    WHERE LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0) >= 0
+      AND LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0) >= 0
+      AND (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0) > 0
+           OR LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0) > 0)
+),
+lbl(gid, bid, l) AS (
+    SELECT gid, bid, bid FROM boxes
+    UNION
+    SELECT e.gid, e.eb, lbl.l FROM lbl JOIN edges e
+      ON e.gid = lbl.gid AND e.ea = lbl.bid
+),
+minl AS (SELECT gid, bid, MIN(l) AS ml FROM lbl GROUP BY gid, bid),
+np AS (SELECT gid, CAST(COUNT(DISTINCT ml) AS BIGINT) AS n_parts FROM minl GROUP BY gid)
+SELECT np.gid, np.n_parts, CAST(upx.union_px AS BIGINT) AS union_px
+FROM np JOIN upx ON np.gid = upx.gid
+"""
+
+
+def _zonal_raster_oracle() -> str:
+    """Closed-form zonal stats: snapped boxes x constant-per-band tiles.
+
+    Pixel-count formulas replicate the rasterize kernel's half-open
+    center-in-box test; every operand is a quarter-integer double <= 1100, so
+    FLOOR/CEIL/+- are exact IEEE in both engines (no boundary drift)."""
+    ncols = (
+        "GREATEST(0, LEAST(CAST(CEIL(bxmax - txmin - 0.5e0) AS BIGINT), 100)"
+        " - GREATEST(CAST(CEIL(bxmin - txmin - 0.5e0) AS BIGINT), 0))"
+    )
+    nrows = (
+        "GREATEST(0, LEAST(CAST(CEIL(tymax - bymin - 0.5e0) AS BIGINT), 100)"
+        " - GREATEST(CAST(CEIL(tymax - bymax - 0.5e0) AS BIGINT), 0))"
+    )
+
+    def mean(band: int) -> str:
+        v = f"CAST((tile_key * 31 + {band * 7}) % 1000 AS DOUBLE)"
+        return f"SUM(CAST(n_px AS DOUBLE) * {v}) / CAST(SUM(n_px) AS DOUBLE)"
+
+    return synth.oracle_with(("crowns", V["crowns"])) + f"""
+        , snapped AS (
+            SELECT crown_id,
+                   FLOOR(xmin) + 0.25e0 AS bxmin, FLOOR(ymin) + 0.25e0 AS bymin,
+                   FLOOR(xmax) + 0.25e0 AS bxmax, FLOOR(ymax) + 0.25e0 AS bymax
+            FROM crowns
+        ),
+        ztiles AS (
+            SELECT i AS tile_key,
+                   (i % 10) * 100e0 AS txmin,
+                   CAST(FLOOR(i / 10) AS BIGINT) * 100e0 AS tymin,
+                   (i % 10) * 100e0 + 100e0 AS txmax,
+                   CAST(FLOOR(i / 10) AS BIGINT) * 100e0 + 100e0 AS tymax
+            FROM range(100) t(i)
+        ),
+        px AS (
+            SELECT s.crown_id, t.tile_key, {ncols} * {nrows} AS n_px
+            FROM snapped s JOIN ztiles t
+              ON s.bxmin < t.txmax AND s.bxmax > t.txmin
+             AND s.bymin < t.tymax AND s.bymax > t.tymin
+        )
+        SELECT crown_id, CAST(SUM(n_px) AS BIGINT) AS n_px,
+               {mean(0)} AS band0_mean,
+               {mean(7)} AS band7_mean
+        FROM px GROUP BY crown_id HAVING SUM(n_px) > 0
+    """
 
 
 def _nms_oracle() -> str:

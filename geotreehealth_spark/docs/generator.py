@@ -98,6 +98,27 @@ def crown_geo_udf(
     )
 
 
+@F.pandas_udf(BinaryType())
+def two_rect_mask_udf(
+    ar0: pd.Series, ac0: pd.Series, ah: pd.Series, aw: pd.Series,
+    br0: pd.Series, bc0: pd.Series, bh: pd.Series, bw: pd.Series,
+) -> pd.Series:
+    """100x100 boolean mask = union of two integer rectangles, packed bits.
+
+    Deterministic synthetic SAM-mask stand-in for the polygonize driver query:
+    the rect params are pure int arithmetic on keys, so component count and
+    union pixel count have closed forms the SQL oracle reproduces."""
+    out = []
+    for a_r, a_c, a_h, a_w, b_r, b_c, b_h, b_w in zip(
+        ar0, ac0, ah, aw, br0, bc0, bh, bw
+    ):
+        m = np.zeros((100, 100), dtype=np.uint8)
+        m[int(a_r):int(a_r + a_h), int(a_c):int(a_c + a_w)] = 1
+        m[int(b_r):int(b_r + b_h), int(b_c):int(b_c + b_w)] = 1
+        out.append(np.packbits(m).tobytes())
+    return pd.Series(out)
+
+
 @F.pandas_udf(ArrayType(DoubleType()))
 def ring_bounds_udf(geom: pd.Series) -> pd.Series:
     xmin, ymin, xmax, ymax = wkb.polygon_bounds(list(geom))

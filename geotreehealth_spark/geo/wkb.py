@@ -1,13 +1,14 @@
-"""Minimal vectorized WKB codec (little-endian Point / Polygon).
+"""Minimal vectorized WKB codec (little-endian Point / Polygon / MultiPolygon).
 
 The reference keeps geometries as shapely objects in GeoDataFrames
 (delineation_pipeline.py:64, get_polygons.py:165); our engine carries them as
 WKB bytes in BinaryType columns (SURVEY.md §1.2) and decodes to numpy arrays
 only inside Arrow batches.
 
-Supported geometry types: Point (1), Polygon (3), single exterior ring only —
-the reference's crowns are simple polygons after its Multi→single explosion
-(delineation_utils.py:93-104); interior rings never occur in its pipeline.
+Supported geometry types: Point (1), Polygon (3, single exterior ring),
+MultiPolygon (6, of single-ring parts) — enough for the reference's crown
+pipeline including its Multi→single explosion (delineation_utils.py:93-104,
+258-272); interior rings never occur in its pipeline.
 """
 
 from __future__ import annotations
@@ -19,8 +20,17 @@ import numpy as np
 _LE = 1  # little-endian byte-order marker
 _POINT = 1
 _POLYGON = 3
+_MULTIPOLYGON = 6
 
 _PT_HEADER = struct.pack("<bI", _LE, _POINT)
+
+
+def geometry_type(buf: bytes) -> int:
+    """WKB geometry type code (1=Point, 3=Polygon, 6=MultiPolygon)."""
+    byte_order, gtype = struct.unpack_from("<bI", buf, 0)
+    if byte_order != _LE:
+        raise ValueError("big-endian WKB not supported")
+    return gtype
 
 
 def encode_point(x: float, y: float) -> bytes:
@@ -86,6 +96,40 @@ def decode_polygon(wkb: bytes) -> np.ndarray:
 
 def decode_polygons(wkbs) -> list[np.ndarray]:
     return [decode_polygon(w) for w in wkbs]
+
+
+def encode_multipolygon(rings: list[np.ndarray]) -> bytes:
+    """List of exterior rings → WKB MultiPolygon of single-ring parts."""
+    header = struct.pack("<bII", _LE, _MULTIPOLYGON, len(rings))
+    return header + b"".join(encode_polygon(r) for r in rings)
+
+
+def split_multipolygon(buf: bytes) -> list[bytes]:
+    """WKB MultiPolygon → list of its part Polygons' WKB buffers.
+
+    A plain Polygon passes through as a 1-element list (the reference's
+    explode, delineation_utils.py:93-104, is identity on simple polygons).
+    """
+    gtype = geometry_type(buf)
+    if gtype == _POLYGON:
+        return [bytes(buf)]
+    if gtype != _MULTIPOLYGON:
+        raise ValueError(f"cannot split geometry type {gtype}")
+    (nparts,) = struct.unpack_from("<I", buf, 5)
+    parts = []
+    off = 9
+    for _ in range(nparts):
+        byte_order, gt = struct.unpack_from("<bI", buf, off)
+        if byte_order != _LE or gt != _POLYGON:
+            raise ValueError("MultiPolygon part must be LE Polygon")
+        (nrings,) = struct.unpack_from("<I", buf, off + 5)
+        if nrings != 1:
+            raise ValueError("interior rings not supported")
+        (npts,) = struct.unpack_from("<I", buf, off + 9)
+        end = off + 13 + npts * 16
+        parts.append(bytes(buf[off:end]))
+        off = end
+    return parts
 
 
 def polygon_bounds(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -18,15 +18,21 @@ from __future__ import annotations
 import numpy as np
 
 HSI_PREFIX = "hsi://tile/"
+HSI_CONST_PREFIX = "hsic://tile/"
 LAZ_PREFIX = "laz://tile/"
 
 
 def resolve_raster(media_ref: str, bands: int, height: int, width: int) -> np.ndarray:
     """media_ref → (bands, h, w) float32 cube.
 
-    Synthetic resolver: seeded by the tile id digits so every executor
-    materializes the identical cube (value range [0, 10000] like the
-    reference's HSI clip, build_dataloaders.py:74-75).
+    Synthetic resolvers (production decode plugs in below):
+    - hsi://  — seeded random cube so every executor materializes the
+      identical tile (value range [0, 10000] like the reference's HSI clip,
+      build_dataloaders.py:74-75).
+    - hsic:// — constant-per-band cube value = (tile_key*31 + band*7) % 1000;
+      band statistics over it have closed forms, which is what lets the
+      zonal_raster driver query carry an exact SQL oracle while still running
+      the full rasterize/applyInPandas path.
     """
     if media_ref.startswith(HSI_PREFIX):
         tile_id = media_ref[len(HSI_PREFIX):]
@@ -35,6 +41,12 @@ def resolve_raster(media_ref: str, bands: int, height: int, width: int) -> np.nd
         return (rng.random((bands, height, width), dtype=np.float32) * 10000.0).astype(
             np.float32
         )
+    if media_ref.startswith(HSI_CONST_PREFIX):
+        tile_key = int(media_ref[len(HSI_CONST_PREFIX):])
+        vals = (tile_key * 31 + np.arange(bands) * 7) % 1000
+        return np.broadcast_to(
+            vals.astype(np.float32)[:, None, None], (bands, height, width)
+        ).copy()
     return decode_external(media_ref)
 
 

@@ -77,3 +77,74 @@ def rank_percentile(
         target = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("__n")))
         aggs.append(F.max(F.when(F.col("__rn") == target, F.col(value))).alias(name))
     return ranked.groupBy(key).agg(*aggs)
+
+
+def _kth_smallest(df: DataFrame, col: str, k: int) -> DataFrame:
+    """1-row frame with the k-th smallest value of `col` (multiset rank).
+
+    sort+limit(k)+max — Spark plans this as a TakeOrderedAndProject (per-
+    partition top-k then merge of k-row heaps), NOT a global sort: scale-safe
+    for any k that fits one executor."""
+    return df.select(F.col(col)).orderBy(F.col(col).asc()).limit(k).agg(
+        F.max(col).alias("__kth")
+    )
+
+
+def percentile_stretch(
+    df: DataFrame,
+    cols: list[str],
+    lo: float = 0.02,
+    hi: float = 0.98,
+) -> DataFrame:
+    """A8 percentile stretch (main.py:53-61, store_data_structures.py:84-88):
+    per column, clip-scale values to [0,1] between the rank-based lo/hi
+    percentiles (value at max(1, ceil(q*n)) of the sorted multiset — exact,
+    interpolation-free, so the SQL oracle reproduces it bit-for-bit).
+
+    Adds `{col}_stretch` per input column. Degenerate hi == lo → 0.0.
+    """
+    import math
+
+    n = df.count()
+    out = df
+    for c in cols:
+        k_lo = max(1, math.ceil(lo * n))
+        k_hi = max(1, math.ceil(hi * n))
+        bounds = (
+            _kth_smallest(df, c, k_lo)
+            .withColumnRenamed("__kth", "__lo")
+            .crossJoin(_kth_smallest(df, c, k_hi).withColumnRenamed("__kth", "__hi"))
+        )
+        out = out.crossJoin(F.broadcast(bounds)).withColumn(
+            f"{c}_stretch",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0.0)).otherwise(
+                F.least(
+                    F.greatest(
+                        (F.col(c) - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+                        F.lit(0.0),
+                    ),
+                    F.lit(1.0),
+                )
+            ),
+        ).drop("__lo", "__hi")
+    return out
+
+
+def drop_smallest_fraction(
+    df: DataFrame, key: str, value: str, frac: float = 0.1
+) -> DataFrame:
+    """§2.6 percent-rank filter: per key, drop rows in the smallest `frac` of
+    `value` (reference drops the smallest-10% crown areas). Keeps rows with
+    percent_rank >= frac; rank ties share a percent_rank, exactly like SQL
+    PERCENT_RANK in both engines."""
+    w = Window.partitionBy(key).orderBy(F.col(value).asc())
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .where(F.col("__pr") >= frac)
+        .drop("__pr")
+    )
+
+
+def distinct_count(df: DataFrame, key: str, value: str, out_col: str = "n_distinct") -> DataFrame:
+    """A9: COUNT(DISTINCT value) per key."""
+    return df.groupBy(key).agg(F.countDistinct(value).alias(out_col))

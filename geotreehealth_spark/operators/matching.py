@@ -1,0 +1,201 @@
+"""Point↔polygon and feature-space matching operators (SURVEY.md W1/J7/J8/J11).
+
+Reference semantics:
+- W1 containing-else-nearest: per seed point, the LARGEST polygon containing
+  it; if none contains it, the polygon whose centroid is nearest
+  (get_polygons.py:100-111 `max(containing_polygons, key=area)` and
+  get_polygons.py:766-777 centroid-distance fallback).
+- J11 feature-space NN match: equal-Tag join, euclidean distance in feature
+  space, argmin per left row, kept only under a threshold
+  (delineation_utils.py:372-398 align_data, threshold=0.1 default).
+- J8 same-tag pair distances: all cross-table pairs sharing a tag with their
+  point distance (delineation_utils.py:62-90 calculate_distances, duplicated
+  at get_unique_polygons.py:9-37).
+- J7 seeded random-k sample: k pseudo-random candidates per probe from the
+  full candidate set (get_polygons.py:331-332 np.random.choice over all
+  points). The engine replaces RNG state with a deterministic integer hash
+  order so the sample is reproducible across engines and retries.
+
+All selection logic is min-struct aggregation or rank windows over slim
+columns — map-side combinable, no driver loops, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geotreehealth_spark.operators.knn import knn_join
+from geotreehealth_spark.operators.pip_join import distance_expr, pip_join
+
+
+def containing_else_nearest(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str,
+    poly_id: str,
+    area_col: str,
+    center: tuple[str, str] = ("cx", "cy"),
+    cell_size: float = 50.0,
+    point_xy: tuple[str, str] = ("x", "y"),
+    poly_wkb: str | None = "geometry_wkb",
+    poly_bounds: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    extent: float = 1000.0,
+) -> DataFrame:
+    """W1: (point_id, poly_id, method) — method 'contained'|'nearest'.
+
+    Physical plan: the containing arm is the PIP filter-refine join followed
+    by a map-side max(struct(area, ...)) — shuffle O(points), not O(pairs);
+    the fallback arm is the exact cell-pruned kNN (k=1) on the RESIDUE only
+    (points with no containing polygon), which is tiny for real crown data.
+    """
+    px, py = point_xy
+    contained = pip_join(
+        points.select(point_id, px, py), polygons, cell_size, px, py, poly_wkb, poly_bounds
+    )
+    # greedy pick: area desc, poly_id asc — encoded as max(struct(area, neg-id))
+    # needs an orderable inverse for the id; use min(struct(-area, id)) instead
+    best = contained.groupBy(point_id).agg(
+        F.min(F.struct((-F.col(area_col)).alias("na"), F.col(poly_id).alias("pid"))).alias("__b")
+    ).select(
+        point_id,
+        F.col("__b.pid").alias(poly_id),
+        (-F.col("__b.na")).alias(area_col),
+    )
+    matched = best.select(point_id, poly_id).withColumn("method", F.lit("contained"))
+
+    residue = points.join(F.broadcast(best.select(point_id)), point_id, "left_anti")
+    nearest = knn_join(
+        residue.select(point_id, px, py),
+        polygons.select(poly_id, *center),
+        k=1,
+        left_id=point_id,
+        right_id=poly_id,
+        left_xy=point_xy,
+        right_xy=center,
+        extent=extent,
+    ).select(point_id, poly_id).withColumn("method", F.lit("nearest"))
+    return matched.unionByName(nearest)
+
+
+def feature_nn_match(
+    left: DataFrame,
+    right: DataFrame,
+    tag_col: str,
+    left_id: str,
+    right_id: str,
+    feature_pairs: list[tuple[str, str]],
+    threshold: float = 0.1,
+) -> DataFrame:
+    """J11: per left row, the equal-tag right row nearest in feature space,
+    kept only if the euclidean distance is strictly below `threshold`
+    (align_data, delineation_utils.py:381-396).
+
+    Output: (left_id, right_id, fdist). The equi-join on tag keeps the pair
+    stream linear in the tag-group sizes; argmin is a min(struct) aggregation
+    (map-side combinable). The distance is an explicit left-associated
+    expression so the SQL oracle is bit-identical.
+    """
+    terms: list[Column] = []
+    r = right
+    for lc, rc in feature_pairs:
+        r = r.withColumnRenamed(rc, f"__r_{rc}") if rc == lc else r
+    rcols = {rc: (f"__r_{rc}" if rc == lc else rc) for lc, rc in feature_pairs}
+    j = left.select(tag_col, left_id, *[lc for lc, _ in feature_pairs]).join(
+        r.select(tag_col, right_id, *[rcols[rc] for _, rc in feature_pairs]), tag_col
+    )
+    for lc, rc in feature_pairs:
+        d = F.col(lc) - F.col(rcols[rc])
+        terms.append(d * d)
+    fdist = F.sqrt(reduce(lambda a, b: a + b, terms))
+    best = (
+        j.withColumn("fdist", fdist)
+        .groupBy(left_id)
+        .agg(F.min(F.struct(F.col("fdist"), F.col(right_id))).alias("__b"))
+        .select(
+            left_id,
+            F.col(f"__b.{right_id}").alias(right_id),
+            F.col("__b.fdist").alias("fdist"),
+        )
+    )
+    return best.where(F.col("fdist") < threshold)
+
+
+def same_tag_pair_distances(
+    left: DataFrame,
+    right: DataFrame,
+    tag_col: str,
+    left_id: str,
+    right_id: str,
+    left_xy: tuple[str, str] = ("x", "y"),
+    right_xy: tuple[str, str] = ("x", "y"),
+    dedup_self: bool = False,
+) -> DataFrame:
+    """J8: (tag, left_id, right_id, distance) for every equal-tag pair.
+
+    dedup_self=True treats left/right as the SAME table and emits each
+    unordered pair once (left_id < right_id). Plain equi-join on the tag:
+    output is Σ |tag group|² — the reference's double iterrows loop
+    (delineation_utils.py:66-82) collapsed into one shuffle.
+    """
+    lx, ly = left_xy
+    rx, ry = right_xy
+    a = left.select(
+        tag_col, F.col(left_id).alias("__lid"), F.col(lx).alias("__lx"), F.col(ly).alias("__ly")
+    )
+    b = right.select(
+        tag_col, F.col(right_id).alias("__rid"), F.col(rx).alias("__rx"), F.col(ry).alias("__ry")
+    )
+    j = a.join(b, tag_col)
+    if dedup_self:
+        j = j.where(F.col("__lid") < F.col("__rid"))
+    out_l, out_r = (left_id, right_id) if left_id != right_id else (
+        f"{left_id}_a", f"{right_id}_b"
+    )
+    return j.select(
+        tag_col,
+        F.col("__lid").alias(out_l),
+        F.col("__rid").alias(out_r),
+        distance_expr(F.col("__lx"), F.col("__ly"), F.col("__rx"), F.col("__ry")).alias(
+            "distance"
+        ),
+    )
+
+
+def random_k_sample(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str,
+    right_id: str,
+    left_key: str,
+    right_key: str,
+    self_key: str | None = None,
+) -> DataFrame:
+    """J7: k deterministic pseudo-random candidates per probe.
+
+    Mirrors np.random.choice over the full candidate set
+    (get_polygons.py:331-332) with RNG replaced by a fixed integer hash
+    ((a·lk + b·rk) mod p) so the draw is reproducible and SQL-expressible.
+    self_key: optional left column equal to right_key for self-exclusion.
+
+    Scale note: the faithful semantics sample from ALL candidates, which is a
+    probe x candidate product — bound the probe side (the reference does: one
+    target at a time) or compose with a cell-local prefilter when the
+    candidate pool can be restricted.
+    """
+    lk = F.col(left_key)
+    rk = F.col(right_key)
+    pairs = left.crossJoin(right)
+    if self_key is not None:
+        pairs = pairs.where(F.col(self_key) != rk)
+    h = F.pmod(lk * F.lit(48271) + rk * F.lit(40503), F.lit(1000003))
+    w = Window.partitionBy(left_id).orderBy(h.asc(), F.col(right_id).asc())
+    return (
+        pairs.withColumn("draw_rank", F.row_number().over(w))
+        .where(F.col("draw_rank") <= k)
+        .select(left_id, right_id, "draw_rank")
+    )

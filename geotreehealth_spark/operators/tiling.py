@@ -26,7 +26,9 @@ def tile_grid(
     tile_size: float = 100.0,
     overlap: float = 10.0,
 ) -> DataFrame:
-    """Deterministic tile manifest: row-major ids, overlap-buffered windows."""
+    """Deterministic tile manifest: row-major ids, overlap-buffered windows
+    (txmin..tymax) plus the OWNED core window (cxmin..cymax) that zonal ops
+    use for exactly-once pixel coverage when overlap > 0."""
     n = int(extent / tile_size)
     return spark.sql(
         f"""
@@ -35,7 +37,11 @@ def tile_grid(
                (i % {n}) * {tile_size}e0 - {overlap}e0 AS txmin,
                CAST(FLOOR(i / {n}) AS BIGINT) * {tile_size}e0 - {overlap}e0 AS tymin,
                (i % {n}) * {tile_size}e0 + {tile_size + overlap}e0 AS txmax,
-               CAST(FLOOR(i / {n}) AS BIGINT) * {tile_size}e0 + {tile_size + overlap}e0 AS tymax
+               CAST(FLOOR(i / {n}) AS BIGINT) * {tile_size}e0 + {tile_size + overlap}e0 AS tymax,
+               (i % {n}) * {tile_size}e0 AS cxmin,
+               CAST(FLOOR(i / {n}) AS BIGINT) * {tile_size}e0 AS cymin,
+               (i % {n}) * {tile_size}e0 + {tile_size}e0 AS cxmax,
+               CAST(FLOOR(i / {n}) AS BIGINT) * {tile_size}e0 + {tile_size}e0 AS cymax
         FROM (SELECT explode(sequence(0, {n * n - 1})) AS i)
         """
     )

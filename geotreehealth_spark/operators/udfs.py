@@ -138,6 +138,18 @@ def point_wkb_udf(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(wkb.encode_points(x.to_numpy(), y.to_numpy()))
 
 
+@pandas_udf(BinaryType())
+def box_wkb_udf(
+    xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
+) -> pd.Series:
+    """Axis-aligned box → WKB Polygon ring (CCW, closed)."""
+    out = []
+    for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax):
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        out.append(wkb.encode_polygon(ring))
+    return pd.Series(out)
+
+
 @pandas_udf(DoubleType())
 def polygon_area_udf(geom_wkb: pd.Series) -> pd.Series:
     return pd.Series([kernels.polygon_area(wkb.decode_polygon(w)) for w in geom_wkb])

@@ -1,0 +1,158 @@
+"""Raster→vector operators: mask→polygons and per-group geometric union.
+
+Reference semantics:
+- polygonize_masks: rasterio.features.shapes over binary masks → one polygon
+  per 4-connected component (get_polygons.py:75-111 mask_to_polygons;
+  batch_sam.py:496-548). Golden: 50x50 square mask → Polygon area 2500
+  containing the seed (reference tests/get_polygons_tests.py:13-33).
+- geometric_union: shapely unary_union of each group's polygons
+  (from_mask_to_polygons.py:34-41, golden-tested in the reference's
+  tests/from_mask_to_polygons_tests.py:10-24). The engine computes the union
+  on the PIXEL GRID (rasterize each member at the group's resolution, OR the
+  masks, polygonize back) — exact for grid-aligned geometry (the reference's
+  own polygons ARE mask-derived, so the grid is their native domain) and a
+  faithful approximation otherwise; SURVEY.md §7-style documented deviation.
+
+Physical plan: both are applyInPandas per mask/group — the payload (mask
+bytes / member rings) never leaves the Arrow batch, output is slim rows
+(ids, counts, areas, part WKBs). Groups are the parallelism unit; salt
+upstream if group cardinality is skewed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType
+
+from geotreehealth_spark.geo import polygonize as pz
+from geotreehealth_spark.geo import wkb
+
+
+def polygonize_masks(
+    masks: DataFrame,
+    mask_id: str = "mask_id",
+    mask_col: str = "mask_bits",
+    h_col: str = "height",
+    w_col: str = "width",
+    txmin_col: str = "txmin",
+    tymax_col: str = "tymax",
+    res: float = 1.0,
+) -> DataFrame:
+    """One row per 4-connected mask component: (mask_id, part_idx, n_px,
+    area, geometry_wkb). mask_col carries np.packbits bytes of the h x w
+    boolean mask (row-major).
+
+    part_idx orders components by their first pixel (row-major scan), the
+    same order rasterio.features.shapes emits them.
+    """
+    schema = (
+        f"{mask_id} string, part_idx int, n_px long, area double, geometry_wkb binary"
+    )
+
+    def per_batch(it):
+        for pdf in it:
+            out = {mask_id: [], "part_idx": [], "n_px": [], "area": [], "geometry_wkb": []}
+            for row in pdf.itertuples():
+                h = int(getattr(row, h_col))
+                w = int(getattr(row, w_col))
+                bits = np.unpackbits(
+                    np.frombuffer(getattr(row, mask_col), dtype=np.uint8),
+                    count=h * w,
+                ).astype(bool).reshape(h, w)
+                polys = pz.polygonize(
+                    bits,
+                    txmin=float(getattr(row, txmin_col)),
+                    tymax=float(getattr(row, tymax_col)),
+                    res_x=res,
+                    res_y=res,
+                )
+                for i, p in enumerate(polys):
+                    out[mask_id].append(getattr(row, mask_id))
+                    out["part_idx"].append(i)
+                    out["n_px"].append(p["n_px"])
+                    out["area"].append(p["area"])
+                    out["geometry_wkb"].append(wkb.encode_polygon(p["ring"]))
+            yield pd.DataFrame(out)
+
+    return masks.mapInPandas(per_batch, schema)
+
+
+def geometric_union(
+    polys: DataFrame,
+    group_col: str,
+    wkb_col: str = "geometry_wkb",
+    res: float = 1.0,
+    pad: float = 1.0,
+) -> DataFrame:
+    """A5: per group, the union of member polygons on the group's pixel grid.
+
+    Output: (group_col, part_idx, n_px, area, geometry_wkb) — one row per
+    connected part of the union. The grid origin snaps to res-multiples of
+    the group bbox (so integer-aligned inputs are unioned EXACTLY), padded by
+    `pad` on each side.
+    """
+    schema = (
+        f"{group_col} string, part_idx int, n_px long, area double, geometry_wkb binary"
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = [wkb.decode_polygon(b) for b in pdf[wkb_col]]
+        mins = np.array([r.min(axis=0) for r in rings])
+        maxs = np.array([r.max(axis=0) for r in rings])
+        gx0 = np.floor((mins[:, 0].min() - pad) / res) * res
+        gy1 = np.ceil((maxs[:, 1].max() + pad) / res) * res
+        w = int(np.ceil((maxs[:, 0].max() + pad - gx0) / res))
+        h = int(np.ceil((gy1 - (mins[:, 1].min() - pad)) / res))
+        from geotreehealth_spark import media
+
+        mask = np.zeros((h, w), dtype=bool)
+        for ring in rings:
+            rr, cc, ok = media.rasterize_mask(ring, gx0, gy1, h, w, res, res)
+            if ok:
+                mask[rr, cc] = True
+        out = {group_col: [], "part_idx": [], "n_px": [], "area": [], "geometry_wkb": []}
+        gid = pdf[group_col].iloc[0]
+        for i, p in enumerate(pz.polygonize(mask, txmin=gx0, tymax=gy1, res_x=res, res_y=res)):
+            out[group_col].append(gid)
+            out["part_idx"].append(i)
+            out["n_px"].append(p["n_px"])
+            out["area"].append(p["area"])
+            out["geometry_wkb"].append(wkb.encode_polygon(p["ring"]))
+        return pd.DataFrame(out)
+
+    return polys.select(group_col, wkb_col).groupBy(group_col).applyInPandas(
+        per_group, schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8: geometry-type filter + Multi→single explode
+# ---------------------------------------------------------------------------
+
+def geometry_type_col(wkb_col) -> "F.Column":
+    """JVM-side WKB geometry-type extraction (no Python): type code is the
+    little-endian uint32 at offset 1; for codes < 256 the first byte suffices.
+    1=Point, 3=Polygon, 6=MultiPolygon."""
+    c = F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col
+    return F.conv(F.hex(F.substring(c, 2, 1)), 16, 10).cast("int")
+
+
+@F.pandas_udf(ArrayType(BinaryType()))
+def _multi_parts_udf(buf: pd.Series) -> pd.Series:
+    return pd.Series([wkb.split_multipolygon(b) for b in buf])
+
+
+def explode_multi(
+    df: DataFrame, wkb_col: str = "geometry_wkb", part_col: str = "part_wkb"
+) -> DataFrame:
+    """P8 Multi→single explode (delineation_utils.py:93-104 gdf.explode()):
+    one output row per Polygon part, with `part_idx` ordering parts as stored.
+    Plain Polygons pass through as their own single part. Point rows should be
+    filtered out beforehand with geometry_type_col (the reference's
+    geometry-type filter, delineation_utils.py:258-272)."""
+    return df.select(
+        "*", F.posexplode(_multi_parts_udf(F.col(wkb_col))).alias("part_idx", part_col)
+    )

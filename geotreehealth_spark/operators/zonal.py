@@ -40,28 +40,49 @@ def zonal_raster_stats(
     crown_bounds: tuple[str, str, str, str] = ("gxmin", "gymin", "gxmax", "gymax"),
     wkb_col: str = "geometry_wkb",
     n_bands: int = 12,
-    salt: int = 8,
+    rows_per_group: int = 256,
+    core_bounds: tuple[str, str, str, str] | None = None,
 ) -> DataFrame:
     """Per-crown band means/stds over the synthetic HSI tiles.
 
     tiles must carry (tile_id, txmin, tymin, txmax, tymax, media_ref, bands,
     height, width). Output: crown_id, n_px, band_mean: array<double>,
     band_std: array<double> (population std, like np.std).
+
+    rows_per_group — COUNT-PROPORTIONAL salting (north_rule skew handling):
+    a cheap groupBy(tile_id).count() sketch sizes each tile's salt so every
+    applyInPandas group holds ~rows_per_group crowns. Round 1 used a constant
+    salt, which left the dense-strip tiles 5x heavier than the rest and capped
+    tile_zonal scaling efficiency at 0.375 (VERDICT.md); proportional salt
+    flattens group cost regardless of skew. The tile cube is re-resolved per
+    sub-group (cheap — seeded generator / cached tile-store read) and the
+    partial-sum merge is unchanged.
+
+    core_bounds — optional names of the tile's OWNED (unbuffered) window
+    columns. When tiles overlap, a pixel lies in several windows; clipping
+    each group's rasterization to the core rect makes coverage exactly-once
+    regardless of the manifest's overlap (round 1 documented this hazard
+    instead of enforcing it). With abutting tiles (overlap=0) it's a no-op.
     """
-    # salted grouping (north_rule): dense-forest tiles hold most crowns, so a
-    # plain groupBy(tile_id) caps parallelism at n_tiles and the hot tiles
-    # straggle. Salting by crown hash splits each tile into `salt` groups; the
-    # tile cube is re-resolved per sub-group (cheap — it's a seeded generator /
-    # cached tile store read) and the partial-sum merge is unchanged.
-    assigned = assign_tiles(
-        crowns_geo.select("crown_id", wkb_col, *crown_bounds),
-        tiles,
-        bounds=crown_bounds,
-    ).withColumn("__salt", F.pmod(F.xxhash64("crown_id"), F.lit(salt)))
+    keep = ["crown_id", wkb_col, *crown_bounds]
+    assigned = assign_tiles(crowns_geo.select(*keep), tiles, bounds=crown_bounds)
+    counts = assigned.groupBy("tile_id").agg(F.count("*").alias("__cnt"))
+    assigned = (
+        assigned.join(F.broadcast(counts), "tile_id")
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64("crown_id"),
+                F.greatest(F.ceil(F.col("__cnt") / F.lit(rows_per_group)), F.lit(1)),
+            ),
+        )
+        .drop("__cnt")
+    )
 
     partial_schema = (
         "crown_id string, n_px long, band_sum array<double>, band_sumsq array<double>"
     )
+    cb = core_bounds
 
     def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         first = pdf.iloc[0]
@@ -74,6 +95,8 @@ def zonal_raster_stats(
         )
         res_x = (txmax - txmin) / w
         res_y = (tymax - tymin) / h
+        if cb is not None:
+            core = tuple(float(getattr(first, c)) for c in cb)
         cube = media.resolve_raster(first.media_ref, bands, h, w).astype(np.float64)
         flat = cube.reshape(bands, -1)
         out = {"crown_id": [], "n_px": [], "band_sum": [], "band_sumsq": []}
@@ -82,6 +105,15 @@ def zonal_raster_stats(
             rr, cc, any_px = media.rasterize_mask(ring, txmin, tymax, h, w, res_x, res_y)
             if not any_px:
                 continue
+            if cb is not None:
+                # exactly-once ownership: keep pixels whose CENTER lies in the
+                # tile's core rect (half-open, matching the grid convention)
+                px = txmin + (cc + 0.5) * res_x
+                py = tymax - (rr + 0.5) * res_y
+                own = (px >= core[0]) & (px < core[2]) & (py >= core[1]) & (py < core[3])
+                rr, cc = rr[own], cc[own]
+                if len(rr) == 0:
+                    continue
             idx = rr * w + cc
             vals = flat[:, idx]
             out["crown_id"].append(row.crown_id)
@@ -99,14 +131,6 @@ def zonal_raster_stats(
 
     partials = assigned.groupBy("tile_id", "__salt").applyInPandas(per_tile, partial_schema)
 
-    # merge partials across tiles (overlapping windows double-count pixels in
-    # the overlap zone exactly like the reference's per-tile loop would if not
-    # boundary-filtered; to keep one-pixel-one-vote semantics we assign each
-    # pixel to the tile OWNING its center: the rasterize step above runs on the
-    # full buffered window, so restrict crowns to their core-owner tile rows
-    # upstream if exact-once semantics are required. For the synthetic grid the
-    # core tiles abut exactly, and assign_tiles on the core grid gives
-    # exactly-once coverage.)
     merged = partials.groupBy("crown_id").agg(
         F.sum("n_px").alias("n_px"),
         F.array(

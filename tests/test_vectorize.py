@@ -1,0 +1,128 @@
+"""Mask→polygon extraction + geometric union: reference-golden parity.
+
+Goldens mirror the reference's own tests:
+- tests/get_polygons_tests.py:13-33 — 50x50 square mask → Polygon area 2500
+  containing the seed point.
+- tests/from_mask_to_polygons_tests.py:10-24 — squares (0,0,5,5) and
+  (3,3,8,8) merge into one polygon; (10,10,15,15) stays separate.
+"""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from geotreehealth_spark.geo import kernels, polygonize as pz, wkb
+from geotreehealth_spark.operators import vectorize
+
+
+def _pack_mask(mask: np.ndarray) -> bytes:
+    return np.packbits(mask.astype(np.uint8)).tobytes()
+
+
+def test_polygonize_square_golden(spark):
+    """Reference golden: 50x50 square mask → area 2500 containing the seed."""
+    mask = np.zeros((100, 100), dtype=bool)
+    mask[25:75, 25:75] = True
+    df = spark.createDataFrame(
+        [("m0", _pack_mask(mask), 100, 100, 0.0, 100.0)],
+        "mask_id string, mask_bits binary, height int, width int, txmin double, tymax double",
+    )
+    out = vectorize.polygonize_masks(df).collect()
+    assert len(out) == 1
+    p = out[0]
+    assert p.n_px == 2500 and p.area == 2500.0
+    ring = wkb.decode_polygon(p.geometry_wkb)
+    assert kernels.polygon_area(ring) == 2500.0
+    # seed containment (mask coords row 50/col 50 → world (50.5, 49.5))
+    assert bool(kernels.points_in_polygon(np.array([50.0]), np.array([50.0]), ring)[0])
+
+
+def test_polygonize_multi_component(spark):
+    mask = np.zeros((40, 40), dtype=bool)
+    mask[2:6, 2:6] = True     # 16 px
+    mask[20:25, 20:30] = True  # 50 px
+    df = spark.createDataFrame(
+        [("m0", _pack_mask(mask), 40, 40, 0.0, 40.0)],
+        "mask_id string, mask_bits binary, height int, width int, txmin double, tymax double",
+    )
+    out = vectorize.polygonize_masks(df).orderBy("part_idx").collect()
+    assert [r.n_px for r in out] == [16, 50]
+    assert [r.area for r in out] == [16.0, 50.0]
+
+
+def test_geometric_union_reference_golden(spark):
+    """from_mask_to_polygons_tests.py:10-24: 1∪2 merge (area 25+25-4=46),
+    polygon 3 stays separate (area 25)."""
+    def box_ring(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+    rows = [
+        ("g", wkb.encode_polygon(box_ring(0, 0, 5, 5))),
+        ("g", wkb.encode_polygon(box_ring(3, 3, 8, 8))),
+        ("g", wkb.encode_polygon(box_ring(10, 10, 15, 15))),
+    ]
+    df = spark.createDataFrame(rows, "gid string, geometry_wkb binary")
+    out = vectorize.geometric_union(df, group_col="gid").orderBy("part_idx").collect()
+    areas = sorted(r.area for r in out)
+    assert len(out) == 2
+    assert areas == [25.0, 46.0]
+    # merged part is the exact rectilinear union for integer-aligned boxes
+    merged = next(r for r in out if r.area == 46.0)
+    ring = wkb.decode_polygon(merged.geometry_wkb)
+    assert kernels.polygon_area(ring) == 46.0
+    # contains both seeds, excludes the corner outside the L
+    inside = kernels.points_in_polygon(
+        np.array([1.0, 7.0, 7.0]), np.array([1.0, 7.0, 1.0]), ring
+    )
+    assert inside.tolist() == [True, True, False]
+
+
+def test_multipolygon_roundtrip_and_explode(spark):
+    r1 = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    r2 = np.array([[10, 10], [12, 10], [12, 13], [10, 13], [10, 10]], float)
+    multi = wkb.encode_multipolygon([r1, r2])
+    assert wkb.geometry_type(multi) == 6
+    parts = wkb.split_multipolygon(multi)
+    assert len(parts) == 2
+    np.testing.assert_array_equal(wkb.decode_polygon(parts[0]), r1)
+    np.testing.assert_array_equal(wkb.decode_polygon(parts[1]), r2)
+
+    pt = wkb.encode_point(1.0, 2.0)
+    simple = wkb.encode_polygon(r1)
+    df = spark.createDataFrame(
+        [("a", multi), ("b", simple), ("c", pt)], "gid string, geometry_wkb binary"
+    )
+    # JVM-side geometry-type filter (P8): drop points without Python
+    typed = df.withColumn("gtype", vectorize.geometry_type_col("geometry_wkb"))
+    assert {r.gid: r.gtype for r in typed.collect()} == {"a": 6, "b": 3, "c": 1}
+    polys = typed.where(F.col("gtype").isin(3, 6))
+    exploded = vectorize.explode_multi(polys).collect()
+    got = sorted((r.gid, r.part_idx) for r in exploded)
+    assert got == [("a", 0), ("a", 1), ("b", 0)]
+    # exploded parts are valid single polygons with correct areas
+    areas = {
+        (r.gid, r.part_idx): kernels.polygon_area(wkb.decode_polygon(r.part_wkb))
+        for r in exploded
+    }
+    assert areas == {("a", 0): 16.0, ("a", 1): 6.0, ("b", 0): 16.0}
+
+
+def test_polygonize_roundtrip_rasterize():
+    """polygonize(rasterize(convex poly)) reproduces the pixel mask exactly."""
+    from geotreehealth_spark import media
+    from geotreehealth_spark.docs.generator import crown_polygon_ring
+
+    ring = crown_polygon_ring(12345, 50.0, 50.0, 8.0)
+    rr, cc, ok = media.rasterize_mask(ring, 0.0, 100.0, 100, 100, 1.0, 1.0)
+    assert ok
+    mask = np.zeros((100, 100), dtype=bool)
+    mask[rr, cc] = True
+    polys = pz.polygonize(mask, txmin=0.0, tymax=100.0)
+    assert len(polys) == 1
+    assert polys[0]["n_px"] == len(rr)
+    # re-rasterizing the extracted ring gives the same mask back
+    ring2 = polys[0]["ring"]
+    rr2, cc2, ok2 = media.rasterize_mask(ring2, 0.0, 100.0, 100, 100, 1.0, 1.0)
+    mask2 = np.zeros((100, 100), dtype=bool)
+    mask2[rr2, cc2] = True
+    assert np.array_equal(mask, mask2)

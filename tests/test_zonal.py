@@ -21,11 +21,7 @@ def test_rasterize_mask_square():
 def test_zonal_raster_parity(spark):
     crowns = synth.crowns(spark, SF_DIR).limit(300)
     geo = generator.crowns_with_geometry(crowns)
-    core_tiles = tiling.tile_grid(spark, extent=1000.0, tile_size=100.0, overlap=0.0)
-    tiles = core_tiles.join(
-        synth.tiles(spark).select("tile_id").limit(0), "tile_id", "left_anti"
-    )  # no-op keep: core grid only
-    tiles = core_tiles.selectExpr(
+    tiles = tiling.tile_grid(spark, extent=1000.0, tile_size=100.0, overlap=0.0).selectExpr(
         "tile_id", "txmin", "tymin", "txmax", "tymax",
         "concat('hsi://tile/', tile_id) AS media_ref",
         "12 AS bands", "100 AS height", "100 AS width",
@@ -57,3 +53,45 @@ def test_zonal_raster_parity(spark):
         np.testing.assert_allclose(np.asarray(g.band_std), allv.std(axis=1), rtol=1e-9)
         checked += 1
     assert checked > 250
+
+
+def test_zonal_overlapping_tiles_exactly_once(spark):
+    """With a 10 m overlap manifest + core_bounds ownership, results must
+    equal the abutting-grid run (each pixel counted exactly once)."""
+    crowns = synth.crowns(spark, SF_DIR).limit(300)
+    geo = generator.crowns_with_geometry(crowns)
+
+    def manifest(overlap):
+        return tiling.tile_grid(
+            spark, extent=1000.0, tile_size=100.0, overlap=overlap
+        ).selectExpr(
+            "tile_id", "txmin", "tymin", "txmax", "tymax",
+            "cxmin", "cymin", "cxmax", "cymax",
+            "concat('hsic://tile/', CAST(tile_key AS STRING)) AS media_ref",
+            "4 AS bands",
+            # buffered windows are wider: keep 1 m pixels
+            f"CAST({100 + 2 * overlap} AS INT) AS height",
+            f"CAST({100 + 2 * overlap} AS INT) AS width",
+        )
+
+    core = ("cxmin", "cymin", "cxmax", "cymax")
+    flat = (
+        zonal.zonal_raster_stats(geo, manifest(0.0), n_bands=4, core_bounds=core)
+        .toPandas()
+        .set_index("crown_id")
+        .sort_index()
+    )
+    buffered = (
+        zonal.zonal_raster_stats(geo, manifest(10.0), n_bands=4, core_bounds=core)
+        .toPandas()
+        .set_index("crown_id")
+        .sort_index()
+    )
+    assert list(flat.index) == list(buffered.index)
+    assert (flat.n_px == buffered.n_px).all()
+    for cid in flat.index:
+        np.testing.assert_allclose(
+            np.asarray(flat.loc[cid].band_mean),
+            np.asarray(buffered.loc[cid].band_mean),
+            rtol=1e-12,
+        )
