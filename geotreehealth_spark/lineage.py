@@ -27,30 +27,39 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geotreehealth_spark.catalog import Catalog
+
 LINEAGE_DIR = "_lineage"
 
 
 def partition_fingerprints(df: DataFrame, part_key: str) -> DataFrame:
-    """(part_key, input_fingerprint, input_rows) — order-independent xor hash."""
+    """(part_key, input_fingerprint, input_rows) — order-independent,
+    multiset-safe fingerprint.
+
+    bit_xor alone cancels duplicate rows (h^h=0): a partition gaining or
+    losing an EVEN number of copies of one row would keep its xor (ADVICE.md
+    round 1). Pairing xor with the wrap-around SUM of the same hashes (sum
+    changes by k*h for k extra copies) plus the row count makes duplicate-
+    count changes visible; all three participate in the staleness key.
+    """
     hashed = df.withColumn("__h", F.xxhash64(*[F.col(c) for c in df.columns]))
+    # sum of 31-bit residues: multiset-sensitive, and bounded by 2^31 * rows
+    # so it cannot overflow int64 under ANSI arithmetic
     return hashed.groupBy(part_key).agg(
-        # xor-fold via sum of (h mod large prime) is NOT collision-safe; use
-        # bit_xor aggregate (order-independent, exact)
-        F.expr("bit_xor(__h)").alias("input_fingerprint"),
+        F.expr(
+            "concat(cast(bit_xor(__h) as string), ':', "
+            "cast(sum(pmod(__h, 2147483647)) as string))"
+        ).alias("input_fingerprint"),
         F.count("*").alias("input_rows"),
     )
 
 
-def _lineage_path(base: str, stage: str) -> str:
-    return os.path.join(base, LINEAGE_DIR, stage)
+def _lineage_table(stage: str) -> str:
+    return os.path.join(LINEAGE_DIR, stage)
 
 
 def read_lineage(spark: SparkSession, base: str, stage: str) -> DataFrame | None:
-    path = _lineage_path(base, stage)
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
+    return Catalog(base).read(spark, _lineage_table(stage))
 
 
 def run_stage(
@@ -66,13 +75,13 @@ def run_stage(
     Returns the full stage output (checkpointed parts + newly computed parts).
     compute must be deterministic per partition (all engine operators are).
     """
-    out_path = os.path.join(base, stage)
+    cat = Catalog(base)
     fps = partition_fingerprints(inputs, part_key)
     done = read_lineage(spark, base, stage)
     if done is not None:
         fresh = fps.join(
-            done.select(part_key, "input_fingerprint"),
-            [part_key, "input_fingerprint"],
+            done.select(part_key, "input_fingerprint", "input_rows"),
+            [part_key, "input_fingerprint", "input_rows"],
             "left_anti",
         )
     else:
@@ -85,14 +94,9 @@ def run_stage(
             F.broadcast(fresh.select(part_key)), part_key, "left_semi"
         )
         result = compute(subset)
-        (
-            result.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(part_key)
-            .parquet(out_path)
-        )
+        cat.overwrite_partitions(result, stage, part_key)
         wall_ms = int((time.time() - t0) * 1000)
-        out_now = spark.read.parquet(out_path).join(
+        out_now = cat.read(spark, stage).join(
             F.broadcast(fresh.select(part_key)), part_key, "left_semi"
         )
         counts = out_now.groupBy(part_key).agg(F.count("*").alias("row_count"))
@@ -103,5 +107,5 @@ def run_stage(
             .withColumn("wall_ms", F.lit(wall_ms))
             .withColumn("completed_at_ns", F.lit(time.time_ns()))
         )
-        lineage_rows.write.mode("append").parquet(_lineage_path(base, stage))
-    return spark.read.parquet(out_path)
+        cat.append(lineage_rows, _lineage_table(stage))
+    return cat.read(spark, stage)

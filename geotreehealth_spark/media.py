@@ -15,6 +15,8 @@ shape) is fully real and tested.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 HSI_PREFIX = "hsi://tile/"
@@ -22,8 +24,12 @@ HSI_CONST_PREFIX = "hsic://tile/"
 LAZ_PREFIX = "laz://tile/"
 
 
+@lru_cache(maxsize=64)
 def resolve_raster(media_ref: str, bands: int, height: int, width: int) -> np.ndarray:
-    """media_ref → (bands, h, w) float32 cube.
+    """media_ref → (bands, h, w) float32 cube. CACHED per python worker
+    (salted zonal groups re-request the same tile several times per worker;
+    the returned array must be treated as immutable — downstream code copies
+    via astype before any mutation).
 
     Synthetic resolvers (production decode plugs in below):
     - hsi://  — seeded random cube so every executor materializes the

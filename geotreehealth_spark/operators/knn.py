@@ -12,13 +12,19 @@ Physical plan (the north_star's "cell-local broadcast candidate pruning"):
    right points on cell_id → distance expression → window rank ≤ k.
 2. a left point is PROVEN complete when it found ≥ k candidates and its k-th
    distance is < r*cell_size (the ring guarantees covering radius r*cell_size
-   around any point in the cell — anything closer is already a candidate).
-3. survivors escalate with doubled ring radius; each escalation round handles
-   an exponentially-shrinking set, so total work stays near the ring-1 cost.
+   around any point in the cell — anything closer is already a candidate), OR
+   when the ring box already covers the DATA BOUNDS (min/max of the right
+   side, one tiny agg) — the boundary-probe proof round 1 lacked: a probe at
+   the site edge has provably-empty space outside the bounds, so it no longer
+   escalates to the cross-join fallback (VERDICT.md "What's wrong" 3).
+3. survivors escalate with 4x ring radius; each escalation round handles an
+   exponentially-shrinking set, so total work stays near the ring-1 cost, and
+   rings reach data-bounds coverage in O(log(extent/cell)) rounds — the
+   cross-join fallback is retained only as a never-reached safety net.
 
 Why this scales: the join is a plain shuffle equi-join on int64 cell keys —
-AQE skew-splits hot cells — and the k-th-distance completeness proof makes the
-result EXACT (not approximate) without ever materializing the cross product.
+AQE skew-splits hot cells — and the completeness proofs make the result EXACT
+(not approximate) without ever materializing the cross product.
 """
 
 from __future__ import annotations
@@ -29,15 +35,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from geotreehealth_spark.geo import cellexprs
 from geotreehealth_spark.operators.pip_join import distance_expr
-from geotreehealth_spark.operators.udfs import make_cell_encode_udf, make_ring_cells_udf
+
+
+def _data_bounds(right: DataFrame, rx: str, ry: str) -> tuple[float, float, float, float]:
+    """(xmin, xmax, ymin, ymax) of the candidate side — 4 scalars, one agg."""
+    b = right.agg(
+        F.min(rx).alias("x0"), F.max(rx).alias("x1"),
+        F.min(ry).alias("y0"), F.max(ry).alias("y1"),
+    ).first()
+    return float(b.x0), float(b.x1), float(b.y0), float(b.y1)
 
 
 def _with_cells(right: DataFrame, cell_size: float, rx: str, ry: str) -> DataFrame:
     """Right side indexed by cell ONCE per kNN call (persisted by callers so
-    escalation rounds reuse it instead of re-scanning + re-encoding)."""
-    cell_udf = make_cell_encode_udf(cell_size)
-    return right.withColumn("__cell", cell_udf(F.col(rx), F.col(ry)))
+    escalation rounds reuse it instead of re-scanning + re-encoding).
+    Cell key is a pure Catalyst expression (geo/cellexprs.py)."""
+    return right.withColumn(
+        "__cell", cellexprs.point_cell(F.col(rx), F.col(ry), cell_size)
+    )
 
 
 def _candidates(
@@ -50,8 +67,7 @@ def _candidates(
     rx: str,
     ry: str,
 ) -> DataFrame:
-    ring_udf = make_ring_cells_udf(cell_size, ring)
-    lc = left.withColumn("__cell", F.explode(ring_udf(F.col(lx), F.col(ly))))
+    lc = cellexprs.with_ring_cells(left, lx, ly, cell_size, ring)
     return (
         lc.join(right_cells, "__cell")
         .drop("__cell")
@@ -70,7 +86,7 @@ def knn_join(
     right_xy: tuple[str, str] = ("cx", "cy"),
     extent: float = 1000.0,
     min_dist: float | None = None,
-    max_proof_rounds: int = 2,
+    max_proof_rounds: int = 4,
 ) -> DataFrame:
     """Exact k nearest `right` rows per `left` row; ties broken by right_id.
 
@@ -78,9 +94,9 @@ def knn_join(
     ``min_dist``: drop candidates strictly closer than this (reference's
     remove_too_close, batch_sam.py:430-432) before ranking.
     ``max_proof_rounds``: ring-proof rounds before the residue goes to the
-    cross-join fallback — each round costs fixed job latency, and after two
-    rounds the unproven set is a handful of globally-sparse points for which
-    the cross join is cheaper than more rounds.
+    cross-join fallback. With the data-bounds coverage proof, rings reach
+    full coverage in O(log4(extent/cell)) rounds, so the fallback is a
+    safety net, not a planned phase.
     """
     lx, ly = left_xy
     rx, ry = right_xy
@@ -95,6 +111,7 @@ def knn_join(
     results = []
     remaining = left
     right_cells = _with_cells(right, cell_size, rx, ry).persist()
+    bx0, bx1, by0, by1 = _data_bounds(right, rx, ry)
     ring = 1
     rounds = 0
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
@@ -118,13 +135,25 @@ def knn_join(
             results.append(ranked)
             break
         ranked = ranked.persist()  # reused by proof, semi-join, and final union
-        # completeness proof: k-th neighbor strictly inside guaranteed radius
+        rcs = float(ring * cell_size)
+        # completeness proofs:
+        # (a) k-th neighbor strictly inside the guaranteed ring radius, or
+        # (b) the ring box covers the whole data bounds around this probe —
+        #     whatever was found (even < k rows) is ALL there is.
+        covered_all = (
+            (F.lit(bx1) - F.col(lx) <= rcs)
+            & (F.col(lx) - F.lit(bx0) <= rcs)
+            & (F.lit(by1) - F.col(ly) <= rcs)
+            & (F.col(ly) - F.lit(by0) <= rcs)
+        )
         kth = ranked.groupBy(left_id).agg(
             F.max("dist").alias("__kth"), F.count("*").alias("__n")
         )
-        complete_ids = kth.where(
-            (F.col("__n") >= k) & (F.col("__kth") < ring * cell_size)
+        proven_dist = kth.where(
+            (F.col("__n") >= k) & (F.col("__kth") < rcs)
         ).select(left_id)
+        proven_cov = remaining.where(covered_all).select(left_id)
+        complete_ids = proven_dist.unionByName(proven_cov).distinct()
         results.append(ranked.join(F.broadcast(complete_ids), left_id, "left_semi"))
         # checkpoint: keeps the escalation loop's plan flat across rounds
         remaining = remaining.join(
@@ -150,15 +179,25 @@ def quadrant_knn_join(
     right_xy: tuple[str, str] = ("cx", "cy"),
     extent: float = 1000.0,
     min_dist: float = 3.0,
-    max_proof_rounds: int = 1,
+    max_proof_rounds: int = 4,
 ) -> DataFrame:
     """J6: nearest `right` per cardinal quadrant around each `left` point.
 
-    Quadrant of candidate = (dx >= 0, dy >= 0) → NE/NW/SE/SW, mirroring
-    find_cardinal_direction (batch_sam.py:195-207). Candidates with
-    dist < min_dist are dropped first (batch_sam.py:430-432, config.py:34).
-    Output: left/right columns + quadrant + dist (one row per non-empty
-    quadrant, ≤ 4 per left point).
+    Quadrant of candidate = (dx >= 0, dy >= 0) → NE/NW/SE/SW. Documented
+    deviation from the reference's find_cardinal_direction
+    (batch_sam.py:195-207), which maps (x2>x1, y2>y1) to 'SE' (its y axis is
+    image-down) and keeps dist strictly > remove_too_close: the engine uses
+    math-up axes (NE = +x,+y) and an inclusive dist >= min_dist boundary; the
+    SQL oracle encodes the engine's convention (ADVICE.md round 1 asked for
+    the docstring to say so). Candidates with dist < min_dist are dropped
+    first (batch_sam.py:430-432, config.py:34). Output: left/right columns +
+    quadrant + dist (one row per non-empty quadrant, ≤ 4 per left point).
+
+    Completeness proof per (left, quadrant): found-best dist < ring radius,
+    OR the quadrant's intersection with the candidate DATA BOUNDS is fully
+    covered by the ring box — the extent-clipped proof that lets boundary
+    probes (whose outward quadrants are provably empty) finish without the
+    round-1 full cross-join fallback (VERDICT.md "What's wrong" 3).
     """
     lx, ly = left_xy
     rx, ry = right_xy
@@ -179,14 +218,17 @@ def quadrant_knn_join(
     results = []
     remaining = left
     right_cells = _with_cells(right, cell_size, rx, ry).persist()
+    bx0, bx1, by0, by1 = _data_bounds(right, rx, ry)
     ring = 1
     rounds = 0
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
+    quads = ("NE", "SE", "NW", "SW")
     while True:
         final = ring >= max_ring or rounds >= max_proof_rounds
         if final:
-            # empty-quadrant proofs need the whole extent anyway; the residue
-            # after one ring round is small enough to cross-join directly
+            # safety net only: with coverage proofs every probe is provable
+            # once the ring covers the data bounds, which max_proof_rounds
+            # allows for any sane cell_size
             cands = remaining.crossJoin(right_cells.drop("__cell")).withColumn(
                 "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
             )
@@ -200,16 +242,31 @@ def quadrant_knn_join(
             results.append(best)
             break
         best = best.persist()  # reused by proof, semi-join, and final union
-        # a quadrant is proven complete when its best dist < ring*cell_size;
-        # a LEFT point is complete when all 4 quadrants are proven (a globally
-        # empty quadrant can only be proven at max_ring).
-        proven = (
-            best.where(F.col("dist") < ring * cell_size)
-            .groupBy(left_id)
-            .agg(F.count("*").alias("__nq"))
-            .where(F.col("__nq") == 4)
-            .select(left_id)
+        rcs = float(ring * cell_size)
+        # per-(left, quadrant) distance proofs, pivoted to 4 flag columns
+        flags = best.groupBy(left_id).agg(
+            *[
+                F.max(
+                    F.when((F.col("quadrant") == q) & (F.col("dist") < rcs), 1).otherwise(0)
+                ).alias(f"__f_{q}")
+                for q in quads
+            ]
         )
+        # quadrant-region coverage: region ∩ data bounds inside the ring box
+        x, y = F.col(lx), F.col(ly)
+        cov = {
+            "NE": (F.lit(bx1) - x <= rcs) & (F.lit(by1) - y <= rcs),
+            "SE": (F.lit(bx1) - x <= rcs) & (y - F.lit(by0) <= rcs),
+            "NW": (x - F.lit(bx0) <= rcs) & (F.lit(by1) - y <= rcs),
+            "SW": (x - F.lit(bx0) <= rcs) & (y - F.lit(by0) <= rcs),
+        }
+        j = remaining.select(left_id, lx, ly).join(F.broadcast(flags), left_id, "left")
+        complete = j
+        for q in quads:
+            complete = complete.where(
+                (F.coalesce(F.col(f"__f_{q}"), F.lit(0)) == 1) | cov[q]
+            )
+        proven = complete.select(left_id)
         results.append(best.join(F.broadcast(proven), left_id, "left_semi"))
         remaining = remaining.join(
             F.broadcast(proven), left_id, "left_anti"

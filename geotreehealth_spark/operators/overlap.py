@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from geotreehealth_spark.operators.udfs import make_covering_cells_xy_udf
+from geotreehealth_spark.geo import cellexprs
 
 
 def overlap_selfjoin(
@@ -35,20 +35,16 @@ def overlap_selfjoin(
     Without it, pairs are emitted once with a_id < b_id.
     """
     x0, y0, x1, y1 = bounds
-    cover = make_covering_cells_xy_udf(cell_size)
 
     def prefixed(side: str, frame: DataFrame) -> DataFrame:
         sel = [F.col(c).alias(f"{side}_{c}") for c in frame.columns]
         return frame.select(*sel)
 
-    with_cells = (
-        df.withColumn(
-            "__c", F.explode(cover(F.col(x0), F.col(y0), F.col(x1), F.col(y1)))
-        )
-        .withColumn("__cell", F.col("__c.cell"))
-        .withColumn("__gx", F.col("__c.gx"))
-        .withColumn("__gy", F.col("__c.gy"))
-        .drop("__c")
+    # covering-cell explosion is pure Catalyst (geo/cellexprs.py): the whole
+    # candidate pipeline — explode, equi-join, bbox predicate, reporting-cell
+    # dedup — runs JVM-side with no Python boundary
+    with_cells = cellexprs.with_covering_cells(
+        df, bounds, cell_size, gx_col="__gx", gy_col="__gy"
     )
     left = with_cells.drop("__gx", "__gy")
     if left_filter is not None:

@@ -24,11 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geotreehealth_spark.operators.udfs import (
-    make_cell_encode_udf,
-    make_covering_cells_udf,
-    pip_udf,
-)
+from geotreehealth_spark.geo import cellexprs
+from geotreehealth_spark.operators.udfs import pip_udf
 
 
 def pip_join(
@@ -49,13 +46,13 @@ def pip_join(
     Returns points columns + polygon columns of all containing polygons.
     """
     bx0, by0, bx1, by1 = poly_bounds
-    cell_pts = make_cell_encode_udf(cell_size)
-    cover = make_covering_cells_udf(cell_size)
-
-    pts = points.withColumn("__cell", cell_pts(F.col(point_x), F.col(point_y)))
-    polys = polygons.withColumn(
-        "__cell", F.explode(cover(F.col(bx0), F.col(by0), F.col(bx1), F.col(by1)))
+    # cell keys are pure Catalyst (geo/cellexprs.py): the candidate join runs
+    # whole-stage-codegen end to end; Python appears only in the exact-PIP
+    # refine when poly_wkb is given
+    pts = points.withColumn(
+        "__cell", cellexprs.point_cell(F.col(point_x), F.col(point_y), cell_size)
     )
+    polys = cellexprs.with_covering_cells(polygons, poly_bounds, cell_size)
 
     joined = pts.join(polys, "__cell").drop("__cell")
     # coarse bbox refine first — pure Catalyst, prunes before the UDF runs

@@ -11,88 +11,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (
-    ArrayType,
-    BinaryType,
-    BooleanType,
-    DoubleType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import ArrayType, BinaryType, BooleanType, DoubleType
 
-from geotreehealth_spark.geo import cells, kernels, wkb
+from geotreehealth_spark.geo import kernels, wkb
 
-
-def make_cell_encode_udf(cell_size: float):
-    """(x, y) → Morton cell_id at the given resolution."""
-
-    @pandas_udf(LongType())
-    def cell_encode_udf(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(cells.cell_encode(x.to_numpy(), y.to_numpy(), cell_size))
-
-    return cell_encode_udf
-
-
-def make_covering_cells_udf(cell_size: float):
-    """(xmin, ymin, xmax, ymax) → array of covering cell_ids (for explode)."""
-
-    @pandas_udf(ArrayType(LongType()))
-    def covering_cells_udf(
-        xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
-    ) -> pd.Series:
-        rows, cell_ids = cells.cells_covering_bbox(
-            xmin.to_numpy(), ymin.to_numpy(), xmax.to_numpy(), ymax.to_numpy(), cell_size
-        )
-        out = [[] for _ in range(len(xmin))]
-        for r, c in zip(rows.tolist(), cell_ids.tolist()):
-            out[r].append(c)
-        return pd.Series(out)
-
-    return covering_cells_udf
-
-
-def make_covering_cells_xy_udf(cell_size: float):
-    """Like make_covering_cells_udf but emits struct(cell, gx, gy) so that
-    downstream canonical-cell checks (pair dedup) can run as pure JVM
-    floor-division arithmetic instead of another Python roundtrip."""
-
-    @pandas_udf(
-        ArrayType(
-            StructType(
-                [
-                    StructField("cell", LongType()),
-                    StructField("gx", LongType()),
-                    StructField("gy", LongType()),
-                ]
-            )
-        )
-    )
-    def covering_cells_xy_udf(
-        xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
-    ) -> pd.Series:
-        rows, cell_ids = cells.cells_covering_bbox(
-            xmin.to_numpy(), ymin.to_numpy(), xmax.to_numpy(), ymax.to_numpy(), cell_size
-        )
-        gx, gy = cells.cell_decode(cell_ids)
-        out = [[] for _ in range(len(xmin))]
-        for r, c, x, y in zip(rows.tolist(), cell_ids.tolist(), gx.tolist(), gy.tolist()):
-            out[r].append((c, x, y))
-        return pd.Series(out)
-
-    return covering_cells_xy_udf
-
-
-def make_ring_cells_udf(cell_size: float, ring: int):
-    """(x, y) → array of cell_ids within `ring` steps of the point's cell."""
-
-    @pandas_udf(ArrayType(LongType()))
-    def ring_cells_udf(x: pd.Series, y: pd.Series) -> pd.Series:
-        base = cells.cell_encode(x.to_numpy(), y.to_numpy(), cell_size)
-        codes = cells.cell_ring(base, ring)
-        return pd.Series([row[row >= 0].tolist() for row in codes])
-
-    return ring_cells_udf
+# NOTE: cell encode / covering-cells / ring-cells UDFs were retired in round
+# 2 — join-path cell arithmetic is pure Catalyst now (geo/cellexprs.py); the
+# Morton transform (geo/cells.py) remains for write-time file ordering.
 
 
 @pandas_udf(BooleanType())

@@ -41,9 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # our rows are tiny (ids + coords + ~90B WKB) but the downstream
-        # pandas-UDF work per row is NOT — without this AQE coalesces small
-        # aggregates to 1 partition and serializes every Arrow kernel behind it
+        # our rows are tiny (ids + coords + ~90B WKB) but the per-row work is
+        # NOT — size-based coalescing packs millions of such rows into a
+        # handful of partitions and strands the other cores (measured 4.2x on
+        # the crown-stem join at 32 cores). parallelismFirst makes AQE
+        # coalesce only down to the cluster parallelism, never below.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -45,3 +45,25 @@ def test_resume_skips_completed_partitions(spark, tmp_path):
     a = out3.where(F.col("part_key") == "2").agg(F.sum("dbh2")).collect()[0][0]
     b = mutated.where(F.col("part_key") == "2").agg(F.sum(F.col("dbh") * 2)).collect()[0][0]
     assert abs(a - b) < 1e-6
+
+
+def test_duplicate_row_count_change_detected(spark, tmp_path):
+    """xor-only fingerprints cancel duplicate rows (h^h=0, ADVICE.md round 1);
+    the multiset-safe fingerprint must recompute when a row's copy count
+    changes by an even number."""
+    base = str(tmp_path / "ckpt2")
+    one = spark.createDataFrame([("p", 1, 10.0)], "part_key string, k int, v double")
+    calls = []
+
+    def compute(df):
+        calls.append(1)
+        return df.groupBy("part_key").agg(F.count("*").alias("n"))
+
+    out1 = lineage.run_stage(spark, "dup", one, "part_key", compute, base)
+    assert out1.collect()[0].n == 1 and len(calls) == 1
+
+    # same row tripled: xor is identical (h^h^h = h) — must STILL recompute
+    three = one.unionAll(one).unionAll(one)
+    out2 = lineage.run_stage(spark, "dup", three, "part_key", compute, base)
+    assert len(calls) == 2
+    assert out2.collect()[0].n == 3

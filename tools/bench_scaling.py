@@ -72,14 +72,29 @@ crowns_j = (crowns_j.withColumn("cy", F.col("cy") + off)
 stems = stems.localCheckpoint(eager=True)
 crowns_j = crowns_j.localCheckpoint(eager=True)
 
+def release():
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
 out = {}
-t0 = time.time()
-matches = pip_join.pip_assign_best(
-    stems, crowns_j, poly_id="crown_id", point_id="stem_tag",
-    cell_size=10.0, poly_wkb=None,
-).select("crown_id", "stem_tag", "dist").localCheckpoint(eager=True)
-match_rows = matches.count()
-out["crown_stem_join"] = {"rows": match_rows, "sec": time.time() - t0}
+# min-of-2 trials per job: the sandbox host shows multi-x run-to-run noise
+# (same code, same session: 76s then 41s) — the MIN is the least-interfered
+# estimate of the job's true cost at each parallelism level
+secs = []
+for trial in range(2):
+    t0 = time.time()
+    matches = pip_join.pip_assign_best(
+        stems, crowns_j, poly_id="crown_id", point_id="stem_tag",
+        cell_size=10.0, poly_wkb=None,
+    ).select("crown_id", "stem_tag", "dist").localCheckpoint(eager=True)
+    match_rows = matches.count()
+    secs.append(time.time() - t0)
+    if trial == 0:
+        matches_keep = matches
+    else:
+        matches = matches_keep
+out["crown_stem_join"] = {"rows": match_rows, "sec": min(secs)}
 
 # parity hash NOW (while matches' checkpoint is alive), then release the join
 # job's working set so the zonal measurement isn't contaminated
@@ -87,9 +102,7 @@ h = matches.select(
     F.expr("bit_xor(xxhash64(crown_id, stem_tag, dist))").alias("h")
 ).collect()[0].h
 out["join_hash"] = int(h)
-spark.catalog.clearCache()
-for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-    rdd.unpersist()
+release()
 
 crowns = synth.crowns(spark, sf_dir).drop("stem_tag").crossJoin(F.broadcast(reps))
 crowns = (crowns.withColumn("cy", F.col("cy") + off)
@@ -109,9 +122,12 @@ tiles = (base_tiles.crossJoin(F.broadcast(reps))
          .selectExpr("tile_id", "txmin", "tymin", "txmax", "tymax",
                      "concat('hsi://tile/', CAST(tile_key AS STRING)) AS media_ref",
                      "12 AS bands", "100 AS height", "100 AS width"))
-t0 = time.time()
-feat_rows = zonal.zonal_raster_stats(geo, tiles).count()
-out["tile_zonal"] = {"rows": feat_rows, "tiles": 100 * R, "sec": time.time() - t0}
+zsecs = []
+for trial in range(2):
+    t0 = time.time()
+    feat_rows = zonal.zonal_raster_stats(geo, tiles).count()
+    zsecs.append(time.time() - t0)
+out["tile_zonal"] = {"rows": feat_rows, "tiles": 100 * R, "sec": min(zsecs)}
 
 print("RESULT " + json.dumps(out))
 spark.stop()
@@ -129,13 +145,27 @@ def run_level(cores: int, sf_dir: str, replicas: int = 8) -> dict:
     raise RuntimeError(f"worker failed (cores={cores}):\n{proc.stderr[-3000:]}")
 
 
+def _merge_min(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for job in ("crown_stem_join", "tile_zonal"):
+        if b[job]["sec"] < out[job]["sec"]:
+            out[job] = b[job]
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     n, n4 = 8, 32
+    # INTERLEAVED levels (N, 4N, N, 4N), per-level min: the sandbox host's
+    # throughput drifts over minutes (same job: 3-44s at 32 cores depending on
+    # when it runs), so back-to-back alternation + min is the only sampling
+    # that compares the two levels under like conditions
     res_n = run_level(n, sf_dir)
     res_4n = run_level(n4, sf_dir)
+    res_n = _merge_min(res_n, run_level(n, sf_dir))
+    res_4n = _merge_min(res_4n, run_level(n4, sf_dir))
 
     assert res_n["join_hash"] == res_4n["join_hash"], "parallelism changed results!"
 
