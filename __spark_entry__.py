@@ -507,6 +507,37 @@ def q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_band_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 array ops: band slice → drop noisy band → pad, all pure Catalyst
+    (build_dataloaders.py:80-81 band dropping)."""
+    from geotreehealth_spark import arrays
+
+    synth.register_tpch_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sliced = arrays.band_slice(v, 1, 8)
+    dropped = arrays.band_drop(sliced, 3)
+    padded = arrays.band_pad(dropped, 10, -1.0)
+    return emb.select(
+        "vec_id",
+        F.size(padded).alias("n_bands"),
+        F.element_at(padded, 1).alias("b1"),
+        F.element_at(padded, 7).alias("b7"),
+        F.element_at(padded, 10).alias("b10"),
+    )
+
+
+def q_window_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: crown centers translated into their tile's window frame (x-offset,
+    y-flip — get_polygons.py:540-548)."""
+    from geotreehealth_spark.operators import tiling as t
+
+    crowns = synth.crowns(spark, sf_dir).where(F.col("crown_key") % 25 == 1)
+    assigned = t.assign_tiles(crowns, synth.tiles(spark))
+    out = t.translate_to_window(assigned, "cx", "cy", "txmin", "tymax")
+    return out.select("crown_id", "tile_id", "wx", "wy")
+
+
 RECTS_SQL = """
     SELECT stem_tag AS mask_id,
            (stem_key * 7) % 60 AS ar0, (stem_key * 13) % 60 AS ac0,
@@ -625,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_smallest": q_drop_smallest,
         "polygonize": q_polygonize,
         "geometric_union": q_geometric_union,
+        "band_ops": q_band_ops,
+        "window_translate": q_window_translate,
         "tpch_q1": q_tpch_q1,
         "topk_orders": q_topk_orders,
         "dedup_exact": q_dedup_exact,
@@ -1048,6 +1081,28 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "geometric_union": _geometric_union_oracle(),
+        "band_ops": """
+            SELECT vec_id,
+                   CAST(LEN(p) AS INT) AS n_bands,
+                   p[1] AS b1, p[7] AS b7, p[10] AS b10
+            FROM (
+                SELECT vec_id,
+                       list_concat(
+                           list_concat(e[1:2], e[4:8]),
+                           [-1.0, -1.0, -1.0]
+                       ) AS p
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:8] AS e
+                      FROM embeddings)
+            )
+        """,
+        "window_translate": W(crowns, tiles) + """
+            SELECT c.crown_id, t.tile_id,
+                   c.cx - t.txmin AS wx, t.tymax - c.cy AS wy
+            FROM crowns c JOIN tiles t
+              ON c.xmin < t.txmax AND c.xmax > t.txmin
+             AND c.ymin < t.tymax AND c.ymax > t.tymin
+            WHERE c.crown_key % 25 = 1
+        """,
         "zonal_raster": _zonal_raster_oracle(),
         "nms_greedy": _nms_oracle(),
         "weighted_nms": _weighted_nms_oracle(),

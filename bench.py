@@ -26,20 +26,28 @@ HEADLINE = [
     "pip_assign_best",
     "knn",
     "knn_quadrant",
+    "containing_else_nearest",
     "tile_assign",
     "zonal_lidar",
     "zonal_percentiles",
     "zonal_raster",
     "nms_greedy",
+    "weighted_nms",
     "overlap_pairs",
+    "polygonize",
+    "geometric_union",
     "median_pick",
     "dedup_keep_max_dbh",
     "docs_decode_stems",
+    "feature_nn",
+    "stratified_split",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "jaccard_pairs",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "rp_lsh_pairs",
     "text_stats",
     "lang_id",
 ]

@@ -56,6 +56,68 @@ def resolve_raster(media_ref: str, bands: int, height: int, width: int) -> np.nd
     return decode_external(media_ref)
 
 
+IMG_PREFIX = "img://"
+VID_PREFIX = "vid://"
+
+
+def resolve_image(media_ref: str, height: int, width: int, channels: int = 3) -> np.ndarray:
+    """media_ref → (h, w, c) uint8 image.
+
+    img:// refs resolve to a deterministic synthetic image (seeded by the ref
+    digits) — the sandbox stand-in for a JPEG/PNG decoder (PIL not installed);
+    the Spark-side plumbing (binary travel, batch decode inside Arrow,
+    resize/feature kernels) is real and tested. Production plugs a real
+    decoder into decode_external."""
+    if media_ref.startswith(IMG_PREFIX):
+        seed = (abs(hash_ref(media_ref)) * 2654435761 + 7) & 0xFFFFFFFF
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (height, width, channels), dtype=np.uint8)
+    return decode_external(media_ref)
+
+
+def resolve_frames(
+    media_ref: str, n_frames: int, stride: int, height: int, width: int
+) -> np.ndarray:
+    """vid:// media_ref → (k, h, w, 3) uint8 frames sampled every `stride`
+    from a deterministic synthetic clip of n_frames (frame-sampling plumbing;
+    real video decode is a decode_external concern)."""
+    if not media_ref.startswith(VID_PREFIX):
+        return decode_external(media_ref)
+    idxs = range(0, n_frames, stride)
+    frames = [
+        resolve_image(f"{IMG_PREFIX}{hash_ref(media_ref)}-{i}", height, width)
+        for i in idxs
+    ]
+    return np.stack(frames)
+
+
+def hash_ref(media_ref: str) -> int:
+    """Stable non-cryptographic ref hash (python hash() is salted per run)."""
+    h = 1469598103934665603
+    for b in media_ref.encode("utf-8"):
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize (align_corners=False convention, matching
+    torchvision/PIL semantics) — the engine's stand-in for cv2/PIL resize
+    (tree_health_detection preprocessing). (h, w, c) uint8/float → float64."""
+    h, w = img.shape[:2]
+    a = img.astype(np.float64)
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def decode_external(media_ref: str) -> np.ndarray:
     """Production decode path (rasterio/laspy/PIL) — not available in sandbox."""
     raise NotImplementedError(

@@ -65,6 +65,22 @@ def assign_tiles(
     return df.join(F.broadcast(tiles), pred)
 
 
+def translate_to_window(
+    df: DataFrame,
+    x: str,
+    y: str,
+    origin_x: str,
+    top_y: str,
+    out: tuple[str, str] = ("wx", "wy"),
+) -> DataFrame:
+    """P6: world → window-frame coordinates with the raster y-flip
+    (get_polygons.py:540-548, 626-628; full_image_sam.py:19-27):
+    wx = x - window_left, wy = window_top - y. Pure column arithmetic."""
+    return df.withColumn(out[0], F.col(x) - F.col(origin_x)).withColumn(
+        out[1], F.col(top_y) - F.col(y)
+    )
+
+
 def boundary_filter(
     assigned: DataFrame,
     margin: float = 0.5,
