@@ -116,6 +116,65 @@ def polygon_overlap_ratio(a: np.ndarray, b: np.ndarray) -> float:
     return inter / m if m > 0 else 0.0
 
 
+def affine_transform(
+    ring: np.ndarray,
+    dx: float = 0.0,
+    dy: float = 0.0,
+    sx: float = 1.0,
+    sy: float = 1.0,
+    origin: tuple[float, float] = (0.0, 0.0),
+) -> np.ndarray:
+    """Translate + scale about an origin (shapely.affinity translate/scale,
+    delineation_pipeline.py:92, delineation_utils.py:129-143). Pure column
+    math on the ring array."""
+    ox, oy = origin
+    out = np.empty_like(ring)
+    out[:, 0] = (ring[:, 0] - ox) * sx + ox + dx
+    out[:, 1] = (ring[:, 1] - oy) * sy + oy + dy
+    return out
+
+
+def _dp_keep(arr: np.ndarray, i0: int, i1: int, tolerance: float, acc: set) -> None:
+    """Douglas–Peucker recursion: mark interior points farther than tolerance
+    from the chord (i0, i1)."""
+    if i1 <= i0 + 1:
+        return
+    a, b = arr[i0], arr[i1]
+    ab = b - a
+    norm = np.hypot(ab[0], ab[1])
+    seg = arr[i0 + 1 : i1]
+    if norm == 0.0:
+        d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+    else:
+        d = np.abs(ab[0] * (a[1] - seg[:, 1]) - ab[1] * (a[0] - seg[:, 0])) / norm
+    i = int(np.argmax(d))
+    if d[i] > tolerance:
+        j = i0 + 1 + i
+        acc.add(j)
+        _dp_keep(arr, i0, j, tolerance, acc)
+        _dp_keep(arr, j, i1, tolerance, acc)
+
+
+def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker simplification of a closed ring (shapely
+    simplify(0.1), delineation_pipeline.py:169). The ring is split at its
+    first vertex and the vertex farthest from it (the standard closed-ring
+    anchoring), each open chain simplified, then re-closed."""
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    if len(pts) <= 3:
+        return np.vstack([pts, pts[:1]])
+    d0 = np.hypot(pts[:, 0] - pts[0, 0], pts[:, 1] - pts[0, 1])
+    far = int(np.argmax(d0))
+    half1 = pts[: far + 1]
+    half2 = np.vstack([pts[far:], pts[:1]])
+    keep1: set = {0, len(half1) - 1}
+    keep2: set = {0, len(half2) - 1}
+    _dp_keep(half1, 0, len(half1) - 1, tolerance, keep1)
+    _dp_keep(half2, 0, len(half2) - 1, tolerance, keep2)
+    out = np.vstack([half1[sorted(keep1)], half2[sorted(keep2)][1:-1]])
+    return np.vstack([out, out[:1]])
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew monotone-chain convex hull → closed CCW ring (k,2).
 

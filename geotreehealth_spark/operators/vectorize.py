@@ -128,6 +128,57 @@ def geometric_union(
     )
 
 
+def geometric_difference(
+    pairs: DataFrame,
+    id_col: str,
+    a_wkb: str = "a_wkb",
+    b_wkb: str = "b_wkb",
+    res: float = 1.0,
+    pad: float = 1.0,
+) -> DataFrame:
+    """Per row, A \\ B on the pixel grid (shapely difference,
+    delineation_utils.py cleanup/batch_sam.py:534-537): rasterize both,
+    AND-NOT the masks, polygonize the remainder. Output one row per
+    connected part: (id, part_idx, n_px, area, geometry_wkb); rows whose
+    difference is empty produce no output."""
+    schema = (
+        f"{id_col} string, part_idx int, n_px long, area double, geometry_wkb binary"
+    )
+
+    def per_batch(it):
+        from geotreehealth_spark import media
+
+        for pdf in it:
+            out = {id_col: [], "part_idx": [], "n_px": [], "area": [], "geometry_wkb": []}
+            for row in pdf.itertuples():
+                ra = wkb.decode_polygon(getattr(row, a_wkb))
+                rb = wkb.decode_polygon(getattr(row, b_wkb))
+                mn = np.minimum(ra.min(axis=0), rb.min(axis=0)) - pad
+                mx = np.maximum(ra.max(axis=0), rb.max(axis=0)) + pad
+                gx0 = np.floor(mn[0] / res) * res
+                gy1 = np.ceil(mx[1] / res) * res
+                w = int(np.ceil((mx[0] - gx0) / res))
+                h = int(np.ceil((gy1 - mn[1]) / res))
+                mask = np.zeros((h, w), dtype=bool)
+                rr, cc, ok = media.rasterize_mask(ra, gx0, gy1, h, w, res, res)
+                if ok:
+                    mask[rr, cc] = True
+                rr, cc, ok = media.rasterize_mask(rb, gx0, gy1, h, w, res, res)
+                if ok:
+                    mask[rr, cc] = False
+                for i, p in enumerate(
+                    pz.polygonize(mask, txmin=gx0, tymax=gy1, res_x=res, res_y=res)
+                ):
+                    out[id_col].append(getattr(row, id_col))
+                    out["part_idx"].append(i)
+                    out["n_px"].append(p["n_px"])
+                    out["area"].append(p["area"])
+                    out["geometry_wkb"].append(wkb.encode_polygon(p["ring"]))
+            yield pd.DataFrame(out)
+
+    return pairs.select(id_col, a_wkb, b_wkb).mapInPandas(per_batch, schema)
+
+
 # ---------------------------------------------------------------------------
 # P8: geometry-type filter + Multi→single explode
 # ---------------------------------------------------------------------------

@@ -107,6 +107,50 @@ def test_multipolygon_roundtrip_and_explode(spark):
     assert areas == {("a", 0): 16.0, ("a", 1): 6.0, ("b", 0): 16.0}
 
 
+def test_geometric_difference(spark):
+    """A \\ B for integer-aligned boxes is exact on the pixel grid."""
+    def box_ring(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+    rows = [
+        # B eats a corner: area 100 - 25 = 75, one L-shaped part
+        ("p1", wkb.encode_polygon(box_ring(0, 0, 10, 10)),
+               wkb.encode_polygon(box_ring(5, 5, 10, 10))),
+        # B splits A into two parts: 2 x (10x4) = two 40-px parts
+        ("p2", wkb.encode_polygon(box_ring(0, 0, 10, 10)),
+               wkb.encode_polygon(box_ring(0, 4, 10, 6))),
+        # B covers A entirely: empty difference, no rows
+        ("p3", wkb.encode_polygon(box_ring(2, 2, 4, 4)),
+               wkb.encode_polygon(box_ring(0, 0, 6, 6))),
+    ]
+    df = spark.createDataFrame(rows, "pid string, a_wkb binary, b_wkb binary")
+    out = vectorize.geometric_difference(df, id_col="pid").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.pid, []).append(r.area)
+    assert got["p1"] == [75.0]
+    assert sorted(got["p2"]) == [40.0, 40.0]
+    assert "p3" not in got
+
+
+def test_affine_and_simplify_kernels():
+    sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    moved = kernels.affine_transform(sq, dx=2, dy=-1, sx=2.0, sy=1.0, origin=(0, 0))
+    assert kernels.polygon_area(moved) == 32.0  # x-scale doubles area
+    assert moved[:, 0].min() == 2.0 and moved[:, 1].min() == -1.0
+    # simplify: a square with redundant midpoints collapses back to 4 corners
+    dense = np.array(
+        [[0, 0], [2, 0.001], [4, 0], [4, 2], [4, 4], [2, 4], [0, 4], [0, 2], [0, 0]],
+        float,
+    )
+    simp = kernels.simplify_ring(dense, tolerance=0.01)
+    assert len(simp) == 5  # 4 corners + closing vertex
+    assert kernels.polygon_area(simp) == 16.0
+    # tolerance below the bump keeps it
+    keep = kernels.simplify_ring(dense, tolerance=0.0001)
+    assert len(keep) > 5
+
+
 def test_polygonize_roundtrip_rasterize():
     """polygonize(rasterize(convex poly)) reproduces the pixel mask exactly."""
     from geotreehealth_spark import media
