@@ -538,6 +538,37 @@ def q_window_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("crown_id", "tile_id", "wx", "wy")
 
 
+def q_explode_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: MultiPolygon → single-part explode through the real WKB codec
+    (delineation_utils.py:93-104). Fixtures are two integer-snapped boxes per
+    crown, so per-part shoelace areas are exact integers the oracle rebuilds."""
+    from geotreehealth_spark.docs import generator
+    from geotreehealth_spark.operators import vectorize
+    from geotreehealth_spark.operators.udfs import polygon_area_udf
+
+    crowns = synth.crowns(spark, sf_dir).where(F.col("crown_key") % 40 == 1)
+    boxes = crowns.select(
+        "crown_id",
+        F.floor("xmin").cast("double").alias("x0"),
+        F.floor("ymin").cast("double").alias("y0"),
+        (F.floor("xmax") + 1).cast("double").alias("x1"),
+        (F.floor("ymax") + 1).cast("double").alias("y1"),
+    )
+    multis = boxes.withColumn(
+        "geometry_wkb",
+        generator.two_box_multi_udf(
+            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
+            F.col("x0") + 30.0, F.col("y0") + 30.0, F.col("x0") + 35.0, F.col("y0") + 37.0,
+        ),
+    ).withColumn("gtype", vectorize.geometry_type_col("geometry_wkb"))
+    parts = vectorize.explode_multi(multis.where(F.col("gtype") == 6))
+    return parts.select(
+        "crown_id",
+        "part_idx",
+        polygon_area_udf(F.col("part_wkb")).alias("part_area"),
+    )
+
+
 RECTS_SQL = """
     SELECT stem_tag AS mask_id,
            (stem_key * 7) % 60 AS ar0, (stem_key * 13) % 60 AS ac0,
@@ -658,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometric_union": q_geometric_union,
         "band_ops": q_band_ops,
         "window_translate": q_window_translate,
+        "explode_multi": q_explode_multi,
         "tpch_q1": q_tpch_q1,
         "topk_orders": q_topk_orders,
         "dedup_exact": q_dedup_exact,
@@ -1094,6 +1126,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:8] AS e
                       FROM embeddings)
             )
+        """,
+        "explode_multi": W(crowns) + """
+            , b AS (
+                SELECT crown_id,
+                       CAST(FLOOR(xmin) AS BIGINT) AS x0, CAST(FLOOR(ymin) AS BIGINT) AS y0,
+                       CAST(FLOOR(xmax) AS BIGINT) + 1 AS x1, CAST(FLOOR(ymax) AS BIGINT) + 1 AS y1
+                FROM crowns WHERE crown_key % 40 = 1
+            )
+            SELECT crown_id, CAST(0 AS INT) AS part_idx,
+                   CAST((x1 - x0) * (y1 - y0) AS DOUBLE) AS part_area FROM b
+            UNION ALL
+            SELECT crown_id, CAST(1 AS INT) AS part_idx, CAST(35 AS DOUBLE) AS part_area FROM b
         """,
         "window_translate": W(crowns, tiles) + """
             SELECT c.crown_id, t.tile_id,

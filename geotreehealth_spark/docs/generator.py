@@ -119,6 +119,20 @@ def two_rect_mask_udf(
     return pd.Series(out)
 
 
+@F.pandas_udf(BinaryType())
+def two_box_multi_udf(
+    x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series,
+    u0: pd.Series, v0: pd.Series, u1: pd.Series, v1: pd.Series,
+) -> pd.Series:
+    """MultiPolygon WKB of two axis-aligned boxes (P8 explode fixtures)."""
+    out = []
+    for a0, b0, a1, b1, c0, d0, c1, d1 in zip(x0, y0, x1, y1, u0, v0, u1, v1):
+        r1 = np.array([[a0, b0], [a1, b0], [a1, b1], [a0, b1], [a0, b0]], float)
+        r2 = np.array([[c0, d0], [c1, d0], [c1, d1], [c0, d1], [c0, d0]], float)
+        out.append(wkb.encode_multipolygon([r1, r2]))
+    return pd.Series(out)
+
+
 @F.pandas_udf(ArrayType(DoubleType()))
 def ring_bounds_udf(geom: pd.Series) -> pd.Series:
     xmin, ymin, xmax, ymax = wkb.polygon_bounds(list(geom))

@@ -158,14 +158,20 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    n, n4 = 8, 32
-    # INTERLEAVED levels (N, 4N, N, 4N), per-level min: the sandbox host's
-    # throughput drifts over minutes (same job: 3-44s at 32 cores depending on
-    # when it runs), so back-to-back alternation + min is the only sampling
-    # that compares the two levels under like conditions
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n4 = 4 * n
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    # INTERLEAVED levels (N, 4N, N, 4N, ...), per-level min: the sandbox
+    # host's throughput drifts over minutes (same job: 3-44s at 32 cores
+    # depending on when it runs), so back-to-back alternation + min is the
+    # only sampling that compares the two levels under like conditions.
+    # N=8 (vs 32) saturates the box: shuffle-heavy stages hit the single
+    # machine's shared memory bandwidth well before 32 threads (a one-box
+    # artifact — real 4N executors each bring their own bandwidth); N=4 (vs
+    # 16) leaves headroom and isolates the algorithmic scaling behavior.
     res_n = run_level(n, sf_dir)
     res_4n = run_level(n4, sf_dir)
-    for _ in range(2):
+    for _ in range(rounds - 1):
         res_n = _merge_min(res_n, run_level(n, sf_dir))
         res_4n = _merge_min(res_4n, run_level(n4, sf_dir))
 
