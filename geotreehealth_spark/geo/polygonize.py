@@ -87,31 +87,49 @@ def _component_ring(comp: np.ndarray) -> np.ndarray:
     pad = np.zeros((h + 2, w + 2), dtype=bool)
     pad[1:-1, 1:-1] = comp
     # directed boundary edges, component on the left of travel direction:
-    # top edge of a pixel is walked left->right when the cell above is empty
-    edges: dict[tuple[int, int], tuple[int, int]] = {}
+    # top edge of a pixel is walked left->right when the cell above is empty.
+    # A pinch corner (two diagonal component pixels + two diagonal empty
+    # pixels meeting at one corner) has TWO outgoing edges, so the map holds
+    # a list per start corner and the walk disambiguates by turn direction.
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
     rs, cs = np.nonzero(comp)
     for r, c in zip(rs.tolist(), cs.tolist()):
         if not pad[r, c + 1]:  # above empty → edge (c, r) -> (c+1, r)
-            edges[(c, r)] = (c + 1, r)
+            edges.setdefault((c, r), []).append((c + 1, r))
         if not pad[r + 2, c + 1]:  # below empty → edge (c+1, r+1) -> (c, r+1)
-            edges[(c + 1, r + 1)] = (c, r + 1)
+            edges.setdefault((c + 1, r + 1), []).append((c, r + 1))
         if not pad[r + 1, c]:  # left empty → edge (c, r+1) -> (c, r)
-            edges[(c, r + 1)] = (c, r)
+            edges.setdefault((c, r + 1), []).append((c, r))
         if not pad[r + 1, c + 2]:  # right empty → edge (c+1, r) -> (c+1, r+1)
-            edges[(c + 1, r)] = (c + 1, r + 1)
-    # NOTE: a corner where two diagonal pixels touch has TWO outgoing edges;
-    # the dict keeps one per start corner, which still closes a valid exterior
-    # loop for 4-connected components traversed from the top-left-most corner
-    # (the kept edge at an ambiguous corner continues around the component
-    # because insertion order above favors the edge of the later pixel, and
-    # the exterior walk started at a top edge never needs the dropped one).
+            edges.setdefault((c + 1, r), []).append((c + 1, r + 1))
+
+    def next_corner(prev: tuple[int, int], cur: tuple[int, int]) -> tuple[int, int]:
+        """Outgoing edge from `cur`, given arrival from `prev`. At a pinch
+        corner pick the sharpest LEFT turn relative to the incoming direction
+        (standard contour-tracing disambiguation with the region on the left):
+        that keeps the exterior walk on the exterior instead of diving into a
+        diagonally-touching hole loop (ADVICE.md round 2, pinch-mask crash).
+        In (col, row) coordinates with row increasing downward, "left turn"
+        = most negative cross(d_in, d_out)."""
+        outs = edges[cur]
+        if len(outs) == 1:
+            return outs[0]
+        din = (cur[0] - prev[0], cur[1] - prev[1])
+        return min(
+            outs,
+            key=lambda nxt: din[0] * (nxt[1] - cur[1]) - din[1] * (nxt[0] - cur[0]),
+        )
+
+    # top-left-most corner is never a pinch (its up-left diagonal pixel would
+    # have to be in the component, contradicting minimality), so the exterior
+    # walk starts unambiguously on that corner's single outgoing top edge.
     start = min(edges.keys(), key=lambda p: (p[1], p[0]))
     ring = [start]
-    cur = edges[start]
-    guard = 4 * len(edges) + 8
+    prev, cur = start, edges[start][0]
+    guard = 4 * sum(len(v) for v in edges.values()) + 8
     while cur != start and guard > 0:
         ring.append(cur)
-        cur = edges[cur]
+        prev, cur = cur, next_corner(prev, cur)
         guard -= 1
     if guard == 0:
         raise ValueError("unclosed boundary loop (corrupt mask?)")

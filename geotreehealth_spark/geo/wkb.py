@@ -19,8 +19,12 @@ import numpy as np
 
 _LE = 1  # little-endian byte-order marker
 _POINT = 1
+_LINESTRING = 2
 _POLYGON = 3
+_MULTIPOINT = 4
+_MULTILINESTRING = 5
 _MULTIPOLYGON = 6
+_COLLECTION = 7
 
 _PT_HEADER = struct.pack("<bI", _LE, _POINT)
 
@@ -104,32 +108,82 @@ def encode_multipolygon(rings: list[np.ndarray]) -> bytes:
     return header + b"".join(encode_polygon(r) for r in rings)
 
 
+def _geom_end(buf: bytes, off: int) -> tuple[int, int]:
+    """(gtype, end offset) of the LE WKB geometry starting at `off`."""
+    byte_order, gt = struct.unpack_from("<bI", buf, off)
+    if byte_order != _LE:
+        raise ValueError("big-endian WKB not supported")
+    if gt == _POINT:
+        return gt, off + 21
+    if gt == _LINESTRING:
+        (npts,) = struct.unpack_from("<I", buf, off + 5)
+        return gt, off + 9 + npts * 16
+    if gt == _POLYGON:
+        (nrings,) = struct.unpack_from("<I", buf, off + 5)
+        p = off + 9
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from("<I", buf, p)
+            p += 4 + npts * 16
+        return gt, p
+    if gt in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION):
+        (nparts,) = struct.unpack_from("<I", buf, off + 5)
+        p = off + 9
+        for _ in range(nparts):
+            _, p = _geom_end(buf, p)
+        return gt, p
+    raise ValueError(f"unsupported WKB geometry type {gt}")
+
+
 def split_multipolygon(buf: bytes) -> list[bytes]:
-    """WKB MultiPolygon → list of its part Polygons' WKB buffers.
+    """WKB Multi/Collection → list of its areal parts' Polygon WKB buffers.
 
     A plain Polygon passes through as a 1-element list (the reference's
     explode, delineation_utils.py:93-104, is identity on simple polygons).
+    GeometryCollections (type 7) are split recursively, KEEPING only Polygon /
+    MultiPolygon members and dropping Points/LineStrings — the reference's
+    collection strip (delineation_utils.py:258-272 keeps geom.geoms of type
+    Polygon when a buffer/intersection degenerates to a collection).
+    Interior rings are rejected (never occur in the crown pipeline).
     """
     gtype = geometry_type(buf)
     if gtype == _POLYGON:
-        return [bytes(buf)]
-    if gtype != _MULTIPOLYGON:
-        raise ValueError(f"cannot split geometry type {gtype}")
-    (nparts,) = struct.unpack_from("<I", buf, 5)
-    parts = []
-    off = 9
-    for _ in range(nparts):
-        byte_order, gt = struct.unpack_from("<bI", buf, off)
-        if byte_order != _LE or gt != _POLYGON:
-            raise ValueError("MultiPolygon part must be LE Polygon")
-        (nrings,) = struct.unpack_from("<I", buf, off + 5)
+        (nrings,) = struct.unpack_from("<I", buf, 5)
         if nrings != 1:
             raise ValueError("interior rings not supported")
-        (npts,) = struct.unpack_from("<I", buf, off + 9)
-        end = off + 13 + npts * 16
-        parts.append(bytes(buf[off:end]))
+        return [bytes(buf)]
+    if gtype not in (_MULTIPOLYGON, _COLLECTION):
+        raise ValueError(f"cannot split geometry type {gtype}")
+    (nparts,) = struct.unpack_from("<I", buf, 5)
+    parts: list[bytes] = []
+    off = 9
+    for _ in range(nparts):
+        gt, end = _geom_end(buf, off)
+        if gt == _POLYGON:
+            (nrings,) = struct.unpack_from("<I", buf, off + 5)
+            if nrings != 1:
+                raise ValueError("interior rings not supported")
+            parts.append(bytes(buf[off:end]))
+        elif gt in (_MULTIPOLYGON, _COLLECTION):
+            parts.extend(split_multipolygon(buf[off:end]))
+        elif gt not in (_POINT, _LINESTRING, _MULTIPOINT, _MULTILINESTRING):
+            raise ValueError(f"unsupported collection member type {gt}")
+        # Points / LineStrings (and their Multis) are dropped: non-areal
         off = end
     return parts
+
+
+def encode_collection(members: list[bytes]) -> bytes:
+    """List of WKB geometry buffers → WKB GeometryCollection (test helper /
+    sink symmetry for split_multipolygon)."""
+    header = struct.pack("<bII", _LE, _COLLECTION, len(members))
+    return header + b"".join(bytes(m) for m in members)
+
+
+def encode_linestring(coords: np.ndarray) -> bytes:
+    """(k,2) float array → WKB LineString (collection fixtures)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    header = struct.pack("<bII", _LE, _LINESTRING, len(coords))
+    return header + coords.astype("<f8").tobytes()
 
 
 def polygon_bounds(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -39,12 +39,19 @@ from geotreehealth_spark.geo import cellexprs
 from geotreehealth_spark.operators.pip_join import distance_expr
 
 
-def _data_bounds(right: DataFrame, rx: str, ry: str) -> tuple[float, float, float, float]:
-    """(xmin, xmax, ymin, ymax) of the candidate side — 4 scalars, one agg."""
+def _data_bounds(
+    right: DataFrame, rx: str, ry: str
+) -> tuple[float, float, float, float] | None:
+    """(xmin, xmax, ymin, ymax) of the candidate side — 4 scalars, one agg.
+    Returns None when the candidate side is empty (ADVICE.md round 2: the
+    min/max come back NULL; callers short-circuit to an empty result instead
+    of crashing on float(None))."""
     b = right.agg(
         F.min(rx).alias("x0"), F.max(rx).alias("x1"),
         F.min(ry).alias("y0"), F.max(ry).alias("y1"),
     ).first()
+    if b.x0 is None:
+        return None
     return float(b.x0), float(b.x1), float(b.y0), float(b.y1)
 
 
@@ -109,64 +116,88 @@ def knn_join(
 
     w = Window.partitionBy(left_id).orderBy(F.col("dist").asc(), F.col(right_id).asc())
     results = []
+    persisted: list[DataFrame] = []
     remaining = left
     right_cells = _with_cells(right, cell_size, rx, ry).persist()
-    bx0, bx1, by0, by1 = _data_bounds(right, rx, ry)
+    persisted.append(right_cells)
+    bounds = _data_bounds(right, rx, ry)
+    if bounds is None:
+        # empty candidate side: the crossJoin plan yields zero rows with the
+        # full output schema (left cols + right cols + dist + knn_rank)
+        right_cells.unpersist()
+        empty = remaining.crossJoin(right.limit(0)).withColumn(
+            "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+        )
+        return empty.withColumn("knn_rank", F.row_number().over(w)).where(
+            F.col("knn_rank") <= k
+        )
+    bx0, bx1, by0, by1 = bounds
     ring = 1
     rounds = 0
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
-    while True:
-        final = ring >= max_ring or rounds >= max_proof_rounds
-        if final:
-            # final fallback: remaining is a tiny residue (corner points /
-            # globally-sparse neighborhoods) — a direct cross join beats
-            # exploding a quarter-million ring cells per row
-            cands = remaining.crossJoin(right_cells.drop("__cell")).withColumn(
-                "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+    try:
+        while True:
+            final = ring >= max_ring or rounds >= max_proof_rounds
+            if final:
+                # final fallback: remaining is a tiny residue (corner points /
+                # globally-sparse neighborhoods) — a direct cross join beats
+                # exploding a quarter-million ring cells per row
+                cands = remaining.crossJoin(right_cells.drop("__cell")).withColumn(
+                    "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+                )
+            else:
+                cands = _candidates(remaining, right_cells, cell_size, ring, lx, ly, rx, ry)
+            if min_dist is not None:
+                cands = cands.where(F.col("dist") >= min_dist)
+            ranked = cands.withColumn("knn_rank", F.row_number().over(w)).where(
+                F.col("knn_rank") <= k
             )
-        else:
-            cands = _candidates(remaining, right_cells, cell_size, ring, lx, ly, rx, ry)
-        if min_dist is not None:
-            cands = cands.where(F.col("dist") >= min_dist)
-        ranked = cands.withColumn("knn_rank", F.row_number().over(w)).where(
-            F.col("knn_rank") <= k
-        )
-        if final:
-            results.append(ranked)
-            break
-        ranked = ranked.persist()  # reused by proof, semi-join, and final union
-        rcs = float(ring * cell_size)
-        # completeness proofs:
-        # (a) k-th neighbor strictly inside the guaranteed ring radius, or
-        # (b) the ring box covers the whole data bounds around this probe —
-        #     whatever was found (even < k rows) is ALL there is.
-        covered_all = (
-            (F.lit(bx1) - F.col(lx) <= rcs)
-            & (F.col(lx) - F.lit(bx0) <= rcs)
-            & (F.lit(by1) - F.col(ly) <= rcs)
-            & (F.col(ly) - F.lit(by0) <= rcs)
-        )
-        kth = ranked.groupBy(left_id).agg(
-            F.max("dist").alias("__kth"), F.count("*").alias("__n")
-        )
-        proven_dist = kth.where(
-            (F.col("__n") >= k) & (F.col("__kth") < rcs)
-        ).select(left_id)
-        proven_cov = remaining.where(covered_all).select(left_id)
-        complete_ids = proven_dist.unionByName(proven_cov).distinct()
-        results.append(ranked.join(F.broadcast(complete_ids), left_id, "left_semi"))
-        # checkpoint: keeps the escalation loop's plan flat across rounds
-        remaining = remaining.join(
-            F.broadcast(complete_ids), left_id, "left_anti"
-        ).localCheckpoint(eager=True)
-        if remaining.limit(1).count() == 0:
-            break
-        ring *= 4  # aggressive escalation: each proof round is cheap, rounds are not
-        rounds += 1
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+            if final:
+                results.append(ranked)
+                break
+            ranked = ranked.persist()  # reused by proof, semi-join, and final union
+            persisted.append(ranked)
+            rcs = float(ring * cell_size)
+            # completeness proofs:
+            # (a) k-th neighbor strictly inside the guaranteed ring radius, or
+            # (b) the ring box covers the whole data bounds around this probe —
+            #     whatever was found (even < k rows) is ALL there is.
+            covered_all = (
+                (F.lit(bx1) - F.col(lx) <= rcs)
+                & (F.col(lx) - F.lit(bx0) <= rcs)
+                & (F.lit(by1) - F.col(ly) <= rcs)
+                & (F.col(ly) - F.lit(by0) <= rcs)
+            )
+            kth = ranked.groupBy(left_id).agg(
+                F.max("dist").alias("__kth"), F.count("*").alias("__n")
+            )
+            proven_dist = kth.where(
+                (F.col("__n") >= k) & (F.col("__kth") < rcs)
+            ).select(left_id)
+            proven_cov = remaining.where(covered_all).select(left_id)
+            complete_ids = proven_dist.unionByName(proven_cov).distinct()
+            results.append(ranked.join(F.broadcast(complete_ids), left_id, "left_semi"))
+            # eager persist: materializes the residue once per round (the
+            # plan stays shallow because parents are cached) and, unlike
+            # localCheckpoint, leaves a handle we can unpersist on exit
+            remaining = remaining.join(
+                F.broadcast(complete_ids), left_id, "left_anti"
+            ).persist()
+            persisted.append(remaining)
+            if remaining.count() == 0:
+                break
+            ring *= 4  # aggressive escalation: proof rounds are the expensive unit
+            rounds += 1
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        # materialize before releasing the per-round caches the plan reads
+        # from — callers get a flat-lineage result and a long-lived session
+        # accumulates no storage blocks per kNN call (ADVICE.md round 2)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 def quadrant_knn_join(
@@ -216,65 +247,85 @@ def quadrant_knn_join(
         F.col("dist").asc(), F.col(right_id).asc()
     )
     results = []
+    persisted: list[DataFrame] = []
     remaining = left
     right_cells = _with_cells(right, cell_size, rx, ry).persist()
-    bx0, bx1, by0, by1 = _data_bounds(right, rx, ry)
+    persisted.append(right_cells)
+    bounds = _data_bounds(right, rx, ry)
+    if bounds is None:
+        right_cells.unpersist()
+        empty = remaining.crossJoin(right.limit(0)).withColumn(
+            "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+        )
+        empty = empty.where(F.col("dist") >= min_dist).withColumn("quadrant", quadrant)
+        return empty.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        ).drop("__rn")
+    bx0, bx1, by0, by1 = bounds
     ring = 1
     rounds = 0
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
     quads = ("NE", "SE", "NW", "SW")
-    while True:
-        final = ring >= max_ring or rounds >= max_proof_rounds
-        if final:
-            # safety net only: with coverage proofs every probe is provable
-            # once the ring covers the data bounds, which max_proof_rounds
-            # allows for any sane cell_size
-            cands = remaining.crossJoin(right_cells.drop("__cell")).withColumn(
-                "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+    try:
+        while True:
+            final = ring >= max_ring or rounds >= max_proof_rounds
+            if final:
+                # safety net only: with coverage proofs every probe is provable
+                # once the ring covers the data bounds, which max_proof_rounds
+                # allows for any sane cell_size
+                cands = remaining.crossJoin(right_cells.drop("__cell")).withColumn(
+                    "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+                )
+            else:
+                cands = _candidates(remaining, right_cells, cell_size, ring, lx, ly, rx, ry)
+            cands = cands.where(F.col("dist") >= min_dist).withColumn("quadrant", quadrant)
+            best = cands.withColumn("__rn", F.row_number().over(w)).where(
+                F.col("__rn") == 1
+            ).drop("__rn")
+            if final:
+                results.append(best)
+                break
+            best = best.persist()  # reused by proof, semi-join, and final union
+            persisted.append(best)
+            rcs = float(ring * cell_size)
+            # per-(left, quadrant) distance proofs, pivoted to 4 flag columns
+            flags = best.groupBy(left_id).agg(
+                *[
+                    F.max(
+                        F.when((F.col("quadrant") == q) & (F.col("dist") < rcs), 1).otherwise(0)
+                    ).alias(f"__f_{q}")
+                    for q in quads
+                ]
             )
-        else:
-            cands = _candidates(remaining, right_cells, cell_size, ring, lx, ly, rx, ry)
-        cands = cands.where(F.col("dist") >= min_dist).withColumn("quadrant", quadrant)
-        best = cands.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop(
-            "__rn"
-        )
-        if final:
-            results.append(best)
-            break
-        best = best.persist()  # reused by proof, semi-join, and final union
-        rcs = float(ring * cell_size)
-        # per-(left, quadrant) distance proofs, pivoted to 4 flag columns
-        flags = best.groupBy(left_id).agg(
-            *[
-                F.max(
-                    F.when((F.col("quadrant") == q) & (F.col("dist") < rcs), 1).otherwise(0)
-                ).alias(f"__f_{q}")
-                for q in quads
-            ]
-        )
-        # quadrant-region coverage: region ∩ data bounds inside the ring box
-        x, y = F.col(lx), F.col(ly)
-        cov = {
-            "NE": (F.lit(bx1) - x <= rcs) & (F.lit(by1) - y <= rcs),
-            "SE": (F.lit(bx1) - x <= rcs) & (y - F.lit(by0) <= rcs),
-            "NW": (x - F.lit(bx0) <= rcs) & (F.lit(by1) - y <= rcs),
-            "SW": (x - F.lit(bx0) <= rcs) & (y - F.lit(by0) <= rcs),
-        }
-        j = remaining.select(left_id, lx, ly).join(F.broadcast(flags), left_id, "left")
-        complete = j
-        for q in quads:
-            complete = complete.where(
-                (F.coalesce(F.col(f"__f_{q}"), F.lit(0)) == 1) | cov[q]
-            )
-        proven = complete.select(left_id)
-        results.append(best.join(F.broadcast(proven), left_id, "left_semi"))
-        remaining = remaining.join(
-            F.broadcast(proven), left_id, "left_anti"
-        ).localCheckpoint(eager=True)
-        if remaining.limit(1).count() == 0:
-            break
-        ring *= 4  # aggressive escalation: each proof round is cheap, rounds are not
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+            # quadrant-region coverage: region ∩ data bounds inside the ring box
+            x, y = F.col(lx), F.col(ly)
+            cov = {
+                "NE": (F.lit(bx1) - x <= rcs) & (F.lit(by1) - y <= rcs),
+                "SE": (F.lit(bx1) - x <= rcs) & (y - F.lit(by0) <= rcs),
+                "NW": (x - F.lit(bx0) <= rcs) & (F.lit(by1) - y <= rcs),
+                "SW": (x - F.lit(bx0) <= rcs) & (y - F.lit(by0) <= rcs),
+            }
+            j = remaining.select(left_id, lx, ly).join(F.broadcast(flags), left_id, "left")
+            complete = j
+            for q in quads:
+                complete = complete.where(
+                    (F.coalesce(F.col(f"__f_{q}"), F.lit(0)) == 1) | cov[q]
+                )
+            proven = complete.select(left_id)
+            results.append(best.join(F.broadcast(proven), left_id, "left_semi"))
+            remaining = remaining.join(
+                F.broadcast(proven), left_id, "left_anti"
+            ).persist()
+            persisted.append(remaining)
+            if remaining.count() == 0:
+                break
+            ring *= 4  # aggressive escalation: proof rounds are the expensive unit
+            rounds += 1
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        # flat-lineage, leak-free result (ADVICE.md round 2) — see knn_join
+        return out.localCheckpoint(eager=True)
+    finally:
+        for df in persisted:
+            df.unpersist()

@@ -186,9 +186,17 @@ def geometric_difference(
 def geometry_type_col(wkb_col) -> "F.Column":
     """JVM-side WKB geometry-type extraction (no Python): type code is the
     little-endian uint32 at offset 1; for codes < 256 the first byte suffices.
-    1=Point, 3=Polygon, 6=MultiPolygon."""
+    1=Point, 3=Polygon, 6=MultiPolygon, 7=GeometryCollection.
+
+    Big-endian WKB (byte-order marker 0x00) raises instead of silently
+    misreading the high byte as a type code and dropping the row — matching
+    wkb.geometry_type's loud failure (ADVICE.md round 2)."""
     c = F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col
-    return F.conv(F.hex(F.substring(c, 2, 1)), 16, 10).cast("int")
+    byte_order = F.conv(F.hex(F.substring(c, 1, 1)), 16, 10).cast("int")
+    gtype = F.conv(F.hex(F.substring(c, 2, 1)), 16, 10).cast("int")
+    return F.when(byte_order == 1, gtype).otherwise(
+        F.raise_error(F.lit("big-endian WKB not supported"))
+    )
 
 
 @F.pandas_udf(ArrayType(BinaryType()))

@@ -1,0 +1,51 @@
+"""kNN edge cases (ADVICE.md round 2): empty candidate side must return an
+empty result (not crash on NULL bounds), and repeated calls must not leak
+persisted blocks in a long-lived session."""
+
+import pyspark.sql.functions as F
+
+from geotreehealth_spark.operators import knn
+
+
+def _points(spark, rows, xcol="x", ycol="y", idcol="pid"):
+    if not rows:
+        return spark.createDataFrame([], f"{idcol} string, {xcol} double, {ycol} double")
+    return spark.createDataFrame(rows, f"{idcol} string, {xcol} double, {ycol} double")
+
+
+def test_knn_join_empty_right(spark):
+    left = _points(spark, [("a", 1.0, 1.0), ("b", 5.0, 5.0)])
+    right = _points(spark, [], xcol="cx", ycol="cy", idcol="cid")
+    out = knn.knn_join(
+        left, right, k=2, left_id="pid", right_id="cid", cell_size=10.0, extent=100.0
+    )
+    assert out.count() == 0
+    assert {"pid", "cid", "dist", "knn_rank"} <= set(out.columns)
+
+
+def test_quadrant_knn_join_empty_right(spark):
+    left = _points(spark, [("a", 1.0, 1.0)])
+    right = _points(spark, [], xcol="cx", ycol="cy", idcol="cid")
+    out = knn.quadrant_knn_join(
+        left, right, left_id="pid", right_id="cid", cell_size=10.0, extent=100.0,
+        min_dist=0.0,
+    )
+    assert out.count() == 0
+    assert "quadrant" in out.columns
+
+
+def test_knn_join_no_cache_leak(spark):
+    left = _points(spark, [(f"p{i}", float(i), float(i)) for i in range(50)])
+    right = _points(
+        spark,
+        [(f"c{i}", float(i) + 0.25, float(i) - 0.25) for i in range(50)],
+        xcol="cx", ycol="cy", idcol="cid",
+    )
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = knn.knn_join(
+        left, right, k=3, left_id="pid", right_id="cid", cell_size=5.0, extent=60.0
+    )
+    assert out.count() == 50 * 3
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # the returned localCheckpoint RDD is the only retained block set
+    assert after <= before + 1

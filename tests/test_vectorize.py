@@ -170,3 +170,107 @@ def test_polygonize_roundtrip_rasterize():
     mask2 = np.zeros((100, 100), dtype=bool)
     mask2[rr2, cc2] = True
     assert np.array_equal(mask, mask2)
+
+
+class TestPinchMasks:
+    """ADVICE.md round 2: pinch corners (diagonal component pixels meeting
+    diagonal empty pixels) crashed _component_ring's single-edge walk."""
+
+    def test_ne_sw_pinch(self):
+        # hole at (1,1) touches exterior empty (0,0) diagonally
+        mask = np.array([[0, 1, 1], [1, 0, 1], [1, 1, 1]], dtype=bool)
+        polys = pz.polygonize(mask)
+        assert len(polys) == 1 and polys[0]["n_px"] == 7
+        ring = polys[0]["ring"]
+        assert np.array_equal(ring[0], ring[-1])
+
+    def test_mirrored_pinch(self):
+        mask = np.array([[1, 1, 0], [1, 0, 1], [1, 1, 1]], dtype=bool)
+        polys = pz.polygonize(mask)
+        assert len(polys) == 1 and polys[0]["n_px"] == 7
+
+    def test_exterior_notch_pinch(self):
+        mask = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 0]], dtype=bool)
+        polys = pz.polygonize(mask)
+        assert len(polys) == 1 and polys[0]["n_px"] == 7
+
+    def test_random_stress_all_components_traced(self):
+        rng = np.random.RandomState(123)
+        for _ in range(60):
+            mask = rng.rand(15, 15) > 0.45
+            polys = pz.polygonize(mask)
+            labels, n = pz.label_components(mask)
+            assert len(polys) == n
+            assert sum(p["n_px"] for p in polys) == int(mask.sum())
+            for i, p in enumerate(polys):
+                ring = p["ring"]
+                assert np.array_equal(ring[0], ring[-1])
+                # every component pixel center inside its exterior ring
+                rs, cs = np.nonzero(labels == i)
+                inside = kernels.points_in_polygon(
+                    cs + 0.5, mask.shape[0] - (rs + 0.5), ring
+                )
+                assert inside.all()
+
+
+class TestGeometryCollections:
+    """GeometryCollection strip (reference delineation_utils.py:258-272):
+    keep areal parts, drop Points/LineStrings, recurse nested collections."""
+
+    def _sq(self, x0, y0, s):
+        return np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]],
+            dtype=float,
+        )
+
+    def test_split_collection_keeps_areal_parts(self):
+        poly_a = wkb.encode_polygon(self._sq(0, 0, 2))
+        poly_b = wkb.encode_polygon(self._sq(5, 5, 3))
+        pt = wkb.encode_point(1.0, 1.0)
+        ls = wkb.encode_linestring(np.array([[0.0, 0.0], [4.0, 4.0], [8.0, 0.0]]))
+        mp = wkb.encode_multipolygon([self._sq(10, 10, 1), self._sq(20, 20, 1)])
+        coll = wkb.encode_collection([pt, poly_a, ls, mp, poly_b])
+        parts = wkb.split_multipolygon(coll)
+        assert len(parts) == 4  # a, two mp parts, b — points/lines dropped
+        areas = sorted(kernels.polygon_area(wkb.decode_polygon(p)) for p in parts)
+        assert areas == [1.0, 1.0, 4.0, 9.0]
+
+    def test_nested_collection(self):
+        inner = wkb.encode_collection(
+            [wkb.encode_point(0, 0), wkb.encode_polygon(self._sq(0, 0, 1))]
+        )
+        outer = wkb.encode_collection([inner, wkb.encode_polygon(self._sq(2, 2, 2))])
+        parts = wkb.split_multipolygon(outer)
+        assert len(parts) == 2
+
+    def test_explode_multi_on_collection(self, spark):
+        coll = wkb.encode_collection(
+            [
+                wkb.encode_point(0.0, 0.0),
+                wkb.encode_polygon(self._sq(0, 0, 2)),
+                wkb.encode_linestring(np.array([[0.0, 0.0], [1.0, 1.0]])),
+                wkb.encode_polygon(self._sq(4, 4, 3)),
+            ]
+        )
+        df = spark.createDataFrame([("g1", coll)], "gid string, geometry_wkb binary")
+        out = vectorize.explode_multi(df).orderBy("part_idx").collect()
+        assert len(out) == 2
+        assert [
+            round(kernels.polygon_area(wkb.decode_polygon(r.part_wkb))) for r in out
+        ] == [4, 9]
+
+    def test_geometry_type_col_collection_and_bigendian(self, spark):
+        coll = wkb.encode_collection([wkb.encode_polygon(self._sq(0, 0, 1))])
+        df = spark.createDataFrame(
+            [("a", wkb.encode_point(0, 0)), ("b", coll)], "gid string, g binary"
+        )
+        got = {
+            r.gid: r.t
+            for r in df.select("gid", vectorize.geometry_type_col("g").alias("t")).collect()
+        }
+        assert got == {"a": 1, "b": 7}
+        # big-endian marker byte fails loudly instead of silently typing as 0
+        be = bytes([0]) + wkb.encode_point(0, 0)[1:]
+        bad = spark.createDataFrame([("c", be)], "gid string, g binary")
+        with pytest.raises(Exception, match="big-endian"):
+            bad.select(vectorize.geometry_type_col("g").alias("t")).collect()
