@@ -362,10 +362,13 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotreehealth_spark.text import dedup as tdedup
 
     docs = _documents(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
-    # max_df caps hot-token posting lists (VERDICT.md "What's wrong" 5): one
-    # corpus-scale stop token would otherwise drive the token self-join
-    # quadratic; 50 docs/token is far above any true near-dup token here
-    return tdedup.jaccard_pairs(docs, threshold=0.5, max_df=50)
+    # df-FRACTION stop-token cap (VERDICT.md round 2 "What's wrong" 3): drop
+    # tokens present in > 85% of docs. An absolute cap (round 2 used 50)
+    # stops scaling with the corpus — at sf0.1 it dropped EVERY token and the
+    # bench measured an empty join. Integer arithmetic ((85*n)//100) keeps
+    # the Spark and DuckDB thresholds bit-identical.
+    max_df = (85 * docs.count()) // 100
+    return tdedup.jaccard_pairs(docs, threshold=0.5, max_df=max_df)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,7 +1061,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             toks AS (
                 SELECT * FROM toks0 WHERE token NOT IN (
-                    SELECT token FROM toks0 GROUP BY token HAVING COUNT(*) > 50
+                    SELECT token FROM toks0 GROUP BY token
+                    HAVING COUNT(*) > (85 * (SELECT COUNT(*) FROM docs)) // 100
                 )
             ),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),

@@ -79,17 +79,25 @@ def main() -> None:
         for rdd in jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
+    # Interleaved min-of-N protocol (VERDICT.md round 2 "What's wrong" 2):
+    # this host shows multi-x same-job drift over minutes (BASELINE.md §3
+    # documents 3.2-44s for one job), so a single-shot pass cannot be compared
+    # across rounds. Run the WHOLE headline set N_PASSES times back-to-back
+    # and keep the per-query minimum — the least-interfered estimate of each
+    # query's true cost, sampled under like conditions for every query.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     per_query: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        dt = time.time() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
-        release_caches()
+    for p in range(n_passes):
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            prev = per_query.get(name)
+            per_query[name] = round(dt if prev is None else min(prev, dt), 3)
+            print(f"# pass{p} {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+            release_caches()
+    total = sum(per_query.values())
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
