@@ -22,10 +22,13 @@ from geotreehealth_spark.geo.cells import (  # noqa: F401
     morton_interleave,
 )
 from geotreehealth_spark.geo.kernels import (  # noqa: F401
+    clip_area,
     convex_clip_area,
+    is_convex,
     points_in_polygon,
     polygon_area,
     polygon_centroid,
     polygon_iou,
     polygon_overlap_ratio,
+    triangulate_ring,
 )

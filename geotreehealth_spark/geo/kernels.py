@@ -56,23 +56,48 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.nd
     return (crossings % 2).astype(bool)
 
 
-def convex_clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
-    """Area of subject ∩ clip via Sutherland–Hodgman.
+def _open_ring(ring: np.ndarray) -> np.ndarray:
+    """Vertices without the repeated closing vertex."""
+    return ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
 
-    `clip` must be convex (the synthetic crowns are convex polygons,
-    FIXTURES.md §3; axis-aligned tile windows always are). `subject` may be any
-    simple polygon. Rings may wind either way.
-    """
-    # ensure clip is counter-clockwise
-    x, y = clip[:-1, 0], clip[:-1, 1]
-    x1, y1 = clip[1:, 0], clip[1:, 1]
-    if np.sum(x * y1 - x1 * y) < 0:
-        clip = clip[::-1]
-    out = subject[:-1] if np.array_equal(subject[0], subject[-1]) else subject
-    for i in range(len(clip) - 1):
+
+def _signed_area(pts: np.ndarray) -> float:
+    """Signed shoelace area of an OPEN vertex list (CCW positive)."""
+    x, y = pts[:, 0], pts[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * y1 - x1 * y) / 2.0)
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    """True when every turn of the (either-winding) ring has the same sign
+    (collinear vertices allowed)."""
+    pts = _open_ring(ring)
+    if len(pts) < 4:
+        return True
+    a = pts
+    b = np.roll(pts, -1, axis=0)
+    c = np.roll(pts, -2, axis=0)
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - b[:, 1]) - (b[:, 1] - a[:, 1]) * (
+        c[:, 0] - b[:, 0]
+    )
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def _sh_clip_signed_area(subject_open: np.ndarray, clip_ccw_open: np.ndarray) -> float:
+    """Signed area of subject ∩ clip via Sutherland–Hodgman half-plane
+    sweeps. `clip` must be convex CCW (open vertex list); `subject` may be ANY
+    simple polygon (open list, either winding): clipping a closed curve by a
+    half-plane replaces out-of-plane excursions with chords ON the boundary
+    line, which preserves the winding number of every interior point, so the
+    output's signed shoelace equals ±area(subject ∩ clip) exactly (sign =
+    subject winding) even when the output carries degenerate bridge edges."""
+    out = subject_open
+    n_clip = len(clip_ccw_open)
+    for i in range(n_clip):
         if len(out) == 0:
             return 0.0
-        a, b = clip[i], clip[i + 1]
+        a = clip_ccw_open[i]
+        b = clip_ccw_open[(i + 1) % n_clip]
         ex, ey = b[0] - a[0], b[1] - a[1]
         # signed side of each subject vertex w.r.t. clip edge (>=0 is inside)
         sx = out[:, 0] - a[0]
@@ -93,13 +118,128 @@ def convex_clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
         out = np.asarray(pts) if pts else np.empty((0, 2))
     if len(out) < 3:
         return 0.0
-    ring = np.vstack([out, out[:1]])
-    return polygon_area(ring)
+    return _signed_area(out)
+
+
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple polygon → list of (3,2) CCW
+    triangles partitioning its interior. O(n^2) python, fine for crown rings
+    (tens of vertices) inside Arrow batches."""
+    pts = _open_ring(np.asarray(ring, dtype=np.float64))
+    if _signed_area(pts) < 0:
+        pts = pts[::-1]
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+    guard = 2 * len(idx) * len(idx) + 8
+
+    def _turn(i_prev: int, i_cur: int, i_next: int) -> float:
+        a, b, c = pts[i_prev], pts[i_cur], pts[i_next]
+        return (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+
+    while len(idx) > 3 and guard > 0:
+        guard -= 1
+        n = len(idx)
+        # non-convex (reflex or straight-through) vertices can invalidate an
+        # ear even when they sit exactly ON its boundary (e.g. the L-shape's
+        # 270° corner on the candidate diagonal), so they block inclusively
+        nonconvex = {
+            idx[k]
+            for k in range(n)
+            if _turn(idx[(k - 1) % n], idx[k], idx[(k + 1) % n]) <= 0
+        }
+        best_flat = None  # collinear ear fallback (zero-area, droppable)
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+            if cross <= 0:
+                if cross == 0 and best_flat is None:
+                    best_flat = k
+                continue
+            # ear test: no OTHER remaining vertex strictly inside triangle
+            # abc, and no non-convex vertex inside OR on its boundary
+            others = [j for j in idx if j not in (i0, i1, i2)]
+            if others:
+                o = pts[others]
+                d0 = (b[0] - a[0]) * (o[:, 1] - a[1]) - (b[1] - a[1]) * (o[:, 0] - a[0])
+                d1 = (c[0] - b[0]) * (o[:, 1] - b[1]) - (c[1] - b[1]) * (o[:, 0] - b[0])
+                d2 = (a[0] - c[0]) * (o[:, 1] - c[1]) - (a[1] - c[1]) * (o[:, 0] - c[0])
+                strict = (d0 > 0) & (d1 > 0) & (d2 > 0)
+                incl = (d0 >= 0) & (d1 >= 0) & (d2 >= 0)
+                refl = np.array([j in nonconvex for j in others])
+                if bool((strict | (incl & refl)).any()):
+                    continue
+            tris.append(np.vstack([a, b, c]))
+            del idx[k]
+            break
+        else:
+            if best_flat is not None:  # drop a collinear vertex, no area lost
+                del idx[best_flat]
+            else:  # numerically stuck (near-degenerate ring): drop flattest
+                crosses = []
+                for k in range(n):
+                    a, b, c = pts[idx[(k - 1) % n]], pts[idx[k]], pts[idx[(k + 1) % n]]
+                    crosses.append(
+                        abs((b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0]))
+                    )
+                del idx[int(np.argmin(crosses))]
+    if len(idx) == 3:
+        a, b, c = pts[idx[0]], pts[idx[1]], pts[idx[2]]
+        cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+        if cross != 0:
+            tris.append(np.vstack([a, b, c]) if cross > 0 else np.vstack([c, b, a]))
+    return tris
+
+
+def clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
+    """Area of subject ∩ clip for ARBITRARY simple polygons (VERDICT.md round
+    2 missing 1 — the reference intersects non-convex SAM crowns,
+    delineation_utils.py:108-109, batch_sam.py:150-151).
+
+    Convex clip: single Sutherland–Hodgman sweep (exact for any simple
+    subject — see _sh_clip_signed_area). Concave clip: ear-clip it into
+    triangles partitioning its interior and sum the per-triangle
+    intersections — disjoint pieces, so the sum is exact up to fp rounding.
+    """
+    sub = _open_ring(np.asarray(subject, dtype=np.float64))
+    clp = _open_ring(np.asarray(clip, dtype=np.float64))
+    if len(sub) < 3 or len(clp) < 3:
+        return 0.0
+    if is_convex(clp):
+        if _signed_area(clp) < 0:
+            clp = clp[::-1]
+        return abs(_sh_clip_signed_area(sub, clp))
+    if is_convex(sub):  # cheaper to sweep against the convex one
+        if _signed_area(sub) < 0:
+            sub = sub[::-1]
+        return abs(_sh_clip_signed_area(clp, sub))
+    total = 0.0
+    for tri in triangulate_ring(clp):
+        total += abs(_sh_clip_signed_area(sub, tri))
+    return total
+
+
+def convex_clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
+    """Area of subject ∩ clip via a single Sutherland–Hodgman sweep.
+
+    `clip` must be convex (axis-aligned tile windows always are); `subject`
+    may be any simple polygon. Rings may wind either way. For a possibly
+    concave clip use clip_area, which triangulates when needed."""
+    clp = _open_ring(np.asarray(clip, dtype=np.float64))
+    if len(clp) < 3:
+        return 0.0
+    if _signed_area(clp) < 0:
+        clp = clp[::-1]
+    sub = _open_ring(np.asarray(subject, dtype=np.float64))
+    if len(sub) < 3:
+        return 0.0
+    return abs(_sh_clip_signed_area(sub, clp))
 
 
 def polygon_iou(a: np.ndarray, b: np.ndarray) -> float:
-    """Intersection-over-union (batch_sam.py:150-151 `calculate_overlap`)."""
-    inter = convex_clip_area(a, b)
+    """Intersection-over-union (batch_sam.py:150-151 `calculate_overlap`).
+    Exact for arbitrary simple polygons (clip_area)."""
+    inter = clip_area(a, b)
     if inter == 0.0:
         return 0.0
     union = polygon_area(a) + polygon_area(b) - inter
@@ -108,8 +248,9 @@ def polygon_iou(a: np.ndarray, b: np.ndarray) -> float:
 
 def polygon_overlap_ratio(a: np.ndarray, b: np.ndarray) -> float:
     """inter / max(areaA, areaB) — the greedy-NMS criterion
-    (get_polygons.py:806-816 uses intersection over the larger area)."""
-    inter = convex_clip_area(a, b)
+    (get_polygons.py:806-816 uses intersection over the larger area).
+    Exact for arbitrary simple polygons (clip_area)."""
+    inter = clip_area(a, b)
     if inter == 0.0:
         return 0.0
     m = max(polygon_area(a), polygon_area(b))

@@ -139,3 +139,88 @@ class TestKernels:
         m = square(0, 0, 50)
         assert polygon_area(m) == pytest.approx(2500.0)
         assert points_in_polygon(np.array([25.0]), np.array([25.0]), m)[0]
+
+
+class TestGeneralClip:
+    """Exact non-convex polygon∩polygon intersection (VERDICT.md round 2
+    missing 1): independent grid oracle + hand-computed goldens."""
+
+    L = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]], float)
+
+    @staticmethod
+    def _grid_area(a, b, res):
+        mn = np.minimum(a.min(0), b.min(0)) - res
+        mx = np.maximum(a.max(0), b.max(0)) + res
+        xs = np.arange(mn[0] + res / 2, mx[0], res)
+        ys = np.arange(mn[1] + res / 2, mx[1], res)
+        X, Y = np.meshgrid(xs, ys)
+        ia = points_in_polygon(X.ravel(), Y.ravel(), a)
+        ib = points_in_polygon(X.ravel(), Y.ravel(), b)
+        return (ia & ib).sum() * res * res
+
+    @staticmethod
+    def _star(cx, cy, r_out, r_in, n, seed):
+        rng = np.random.RandomState(seed)
+        th = np.sort(rng.uniform(0, 2 * np.pi, 2 * n))
+        rr = np.where(np.arange(2 * n) % 2 == 0, r_out, r_in) * rng.uniform(
+            0.7, 1.0, 2 * n
+        )
+        pts = np.c_[cx + rr * np.cos(th), cy + rr * np.sin(th)]
+        return np.vstack([pts, pts[:1]])
+
+    def test_l_shape_goldens(self):
+        from geotreehealth_spark.geo.kernels import clip_area
+
+        L = self.L
+        assert clip_area(L, square(0.5, 0.5, 1.0)) == pytest.approx(0.75)
+        assert clip_area(square(0.5, 0.5, 1.0), L) == pytest.approx(0.75)
+        L2 = L + 0.5
+        assert clip_area(L, L2) == pytest.approx(1.25)
+        assert clip_area(L2, L) == pytest.approx(1.25)
+        assert clip_area(L, L) == pytest.approx(3.0)
+
+    def test_triangulation_partitions_area(self):
+        from geotreehealth_spark.geo.kernels import triangulate_ring
+
+        for seed in range(15):
+            ring = self._star(0, 0, 2.0, 0.6, n=8, seed=seed)
+            tris = triangulate_ring(ring)
+            s = sum(polygon_area(np.vstack([t, t[:1]])) for t in tris)
+            assert s == pytest.approx(polygon_area(ring), abs=1e-9)
+        tris = triangulate_ring(self.L)
+        assert sum(polygon_area(np.vstack([t, t[:1]])) for t in tris) == pytest.approx(3.0)
+
+    def test_concave_star_vs_grid_oracle(self):
+        from geotreehealth_spark.geo.kernels import clip_area
+
+        for t in range(12):
+            a = self._star(0, 0, 2.0, 0.8, n=6, seed=t)
+            b = self._star(np.cos(t), np.sin(2 * t), 1.8, 0.7, n=5, seed=100 + t)
+            ex = clip_area(a, b)
+            assert clip_area(b, a) == pytest.approx(ex, abs=1e-9)
+            assert ex == pytest.approx(self._grid_area(a, b, res=0.01), abs=0.02)
+
+    def test_rectilinear_exact_vs_pixel_count(self):
+        """Mask-derived (grid-aligned) polygons: clip_area must agree with the
+        pixel AND-count EXACTLY — shared collinear edges are the worst case."""
+        from geotreehealth_spark.geo import polygonize as pz
+        from geotreehealth_spark.geo.kernels import clip_area
+
+        rng = np.random.RandomState(11)
+        checked = 0
+        for _ in range(25):
+            ma = rng.rand(7, 7) > 0.4
+            mb = rng.rand(7, 7) > 0.4
+            pa = pz.polygonize(ma)
+            pb = pz.polygonize(mb)
+            if not pa or not pb:
+                continue
+            ra, rb = pa[0]["ring"], pb[0]["ring"]
+            # grid oracle at pixel centers == exact for grid-aligned rings,
+            # except rings enclosing ignored interior holes; compare via the
+            # independent half-unit grid count
+            got = clip_area(ra, rb)
+            want = self._grid_area(ra, rb, res=0.125)
+            assert got == pytest.approx(want, abs=1e-9)
+            checked += 1
+        assert checked >= 15

@@ -200,3 +200,62 @@ def test_weighted_nms_parity(spark):
         assert abs(got_score[cid] - exp_score[cid]) < 1e-12, cid
         assert bool(got_sel[cid]) == expected[cid], cid
     assert sum(1 for v in expected.values() if not v) > 20
+
+
+def _concave_star_ring(cx, cy, r_out, seed):
+    """Deterministic concave (star) ring around (cx, cy) — the SAM-crown
+    shape class the round-2 convex-only clip kernel couldn't intersect."""
+    rng = np.random.RandomState(seed)
+    n = 6
+    th = np.sort(rng.uniform(0, 2 * np.pi, 2 * n))
+    rr = np.where(np.arange(2 * n) % 2 == 0, r_out, 0.45 * r_out) * rng.uniform(
+        0.75, 1.0, 2 * n
+    )
+    pts = np.c_[cx + rr * np.cos(th), cy + rr * np.sin(th)]
+    return np.vstack([pts, pts[:1]])
+
+
+def test_greedy_nms_parity_concave_crowns(spark, crowns_geo_pd):
+    """WKB-path NMS parity on CONCAVE polygons (VERDICT.md round 2 next 3):
+    replace each crown ring with a concave star of the same bbox scale; the
+    distributed NMS and the sequential oracle must agree decision-for-decision
+    through the general clip_area kernel."""
+    pdf = crowns_geo_pd[
+        (crowns_geo_pd.gxmin < 120.0) & (crowns_geo_pd.gymin < 400.0)
+    ].reset_index(drop=True).copy()
+    assert len(pdf) > 400
+    rings = []
+    for row in pdf.itertuples():
+        cx = (row.gxmin + row.gxmax) / 2.0
+        cy = (row.gymin + row.gymax) / 2.0
+        r_out = max(row.gxmax - row.gxmin, row.gymax - row.gymin) * 0.75
+        rings.append(_concave_star_ring(cx, cy, r_out, seed=row.crown_key % 10000))
+    pdf["geometry_wkb"] = [wkb.encode_polygon(r) for r in rings]
+    pdf["gxmin"] = [r[:, 0].min() for r in rings]
+    pdf["gxmax"] = [r[:, 0].max() for r in rings]
+    pdf["gymin"] = [r[:, 1].min() for r in rings]
+    pdf["gymax"] = [r[:, 1].max() for r in rings]
+    pdf["garea"] = [kernels.polygon_area(r) for r in rings]
+    assert sum(1 for r in rings if not kernels.is_convex(r)) > 350
+
+    expected = sequential_nms(pdf, threshold=0.3)
+    geo = spark.createDataFrame(pdf)
+    got = (
+        nms.greedy_nms(
+            geo,
+            id_col="crown_id",
+            score_col="score",
+            threshold=0.3,
+            cell_size=50.0,
+            bounds=("gxmin", "gymin", "gxmax", "gymax"),
+            wkb_col="geometry_wkb",
+            area_col="garea",
+        )
+        .select("crown_id", "selected")
+        .toPandas()
+    )
+    got_map = dict(zip(got.crown_id, got.selected))
+    assert len(got_map) == len(expected)
+    diffs = {k for k in expected if bool(got_map[k]) != expected[k]}
+    assert diffs == set(), f"{len(diffs)} concave NMS decisions differ"
+    assert sum(1 for v in expected.values() if not v) > 20
