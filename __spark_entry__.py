@@ -152,6 +152,75 @@ def q_zonal_lidar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_lidar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A7: the LiDAR media_ref path end-to-end — tile docs with laz://
+    spans → decode_lidar view → mapInPandas point-cloud load → bbox zonal
+    stats. The synthetic resolver's integer-modular milli-quantized formulas
+    (media.resolve_lidar) are regenerated verbatim by the SQL oracle."""
+    from geotreehealth_spark import media
+    from geotreehealth_spark.docs import decode, generator
+
+    crowns = synth.crowns(spark, sf_dir)
+    docs = generator.lidar_to_docs(synth.tiles(spark, sf_dir), n_points=1000)
+    pts = media.load_lidar_points(decode.decode_lidar(docs))
+    cands = pip_join.pip_join(pts, crowns, cell_size=25.0, poly_wkb=None)
+    return cands.groupBy("crown_id").agg(
+        F.count("*").alias("n_pts"),
+        (
+            F.sum(F.round(F.col("z") * 1000).cast("long")).cast("double")
+            / (F.lit(1000.0) * F.count("*"))
+        ).alias("z_mean"),
+        F.min("z").alias("z_min"),
+        F.max("z").alias("z_max"),
+    )
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end north_star stage order under ONE oracle (VERDICT.md round 2
+    next 8): decode interleaved docs → PIP containing-else-nearest match (kNN
+    fallback) → tile fan-out → zonal LiDAR features through the laz://
+    media_ref path — all composed into a single result DataFrame."""
+    from geotreehealth_spark import media
+    from geotreehealth_spark.docs import decode, generator
+    from geotreehealth_spark.operators import matching, tiling
+
+    # stage 1: the interleaved-docs input model, decoded back to typed views
+    stems = decode.decode_stems(generator.stems_to_docs(synth.stems(spark, sf_dir)))
+    probes = stems.where(F.col("stem_tag").cast("long") % 10 == 0)
+    crowns = synth.crowns(spark, sf_dir).drop("stem_tag")
+    # stage 2: containing-else-nearest (PIP, kNN fallback for the residue)
+    matched = matching.containing_else_nearest(
+        probes, crowns, point_id="stem_tag", poly_id="crown_id", area_col="ca",
+        cell_size=25.0, poly_wkb=None,
+    ).select("stem_tag", "crown_id", "method")
+    # stage 3: raster-tile fan-out per crown (J12 broadcast range join)
+    tiles = synth.tiles(spark)
+    tile_counts = (
+        tiling.assign_tiles(crowns, tiles)
+        .groupBy("crown_id")
+        .agg(F.count("*").alias("n_tiles"))
+    )
+    # stage 4: zonal LiDAR stats via the laz:// media_ref docs path (S6/A7)
+    docs = generator.lidar_to_docs(synth.tiles(spark, sf_dir), n_points=1000)
+    pts = media.load_lidar_points(decode.decode_lidar(docs))
+    zl = (
+        pip_join.pip_join(pts, crowns, cell_size=25.0, poly_wkb=None)
+        .groupBy("crown_id")
+        .agg(
+            F.count("*").alias("n_pts"),
+            (
+                F.sum(F.round(F.col("z") * 1000).cast("long")).cast("double")
+                / (F.lit(1000.0) * F.count("*"))
+            ).alias("z_mean"),
+        )
+    )
+    return (
+        matched.join(tile_counts, "crown_id", "left")
+        .join(zl, "crown_id", "left")
+        .select("stem_tag", "crown_id", "method", "n_tiles", "n_pts", "z_mean")
+    )
+
+
 def q_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: exact rank-based CHM height percentiles per crown."""
     crowns = synth.crowns(spark, sf_dir)
@@ -710,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_nms": q_weighted_nms,
         "zonal_raster": q_zonal_raster,
         "docs_decode_stems": q_docs_decode_stems,
+        "zonal_lidar_docs": q_zonal_lidar_docs,
+        "pipeline_e2e": q_pipeline_e2e,
     }
 
 
@@ -843,6 +914,30 @@ def oracle_sql() -> dict[str, str]:
              AND l.y >= c.ymin AND l.y < c.ymax
             GROUP BY c.crown_id
         """,
+        "zonal_lidar_docs": W(crowns, tiles) + """
+            , pts AS (
+                SELECT t.tile_key * 1000000 + s.i AS pid,
+                       t.txmin, t.tymin, t.txmax, t.tymax
+                FROM tiles t, generate_series(0, 999) s(i)
+            ), cloud AS (
+                SELECT txmin + ((pid * 104729)
+                           % CAST(ROUND((txmax - txmin) * 1000e0) AS BIGINT))
+                           / 1000e0 AS x,
+                       tymin + ((pid * 15485863)
+                           % CAST(ROUND((tymax - tymin) * 1000e0) AS BIGINT))
+                           / 1000e0 AS y,
+                       ((pid * 7919) % 35000) / 1000e0 AS z
+                FROM pts
+            )
+            SELECT c.crown_id, COUNT(*) AS n_pts,
+                   CAST(SUM(CAST(ROUND(l.z * 1000e0) AS BIGINT)) AS DOUBLE)
+                       / (1000e0 * COUNT(*)) AS z_mean,
+                   MIN(l.z) AS z_min, MAX(l.z) AS z_max
+            FROM crowns c JOIN cloud l
+              ON l.x >= c.xmin AND l.x < c.xmax
+             AND l.y >= c.ymin AND l.y < c.ymax
+            GROUP BY c.crown_id
+        """,
         "zonal_percentiles": W(crowns, lidar) + """
             , cand AS (
                 SELECT c.crown_id, l.z, l.point_id
@@ -878,6 +973,68 @@ def oracle_sql() -> dict[str, str]:
                  AND a.ymin < b.ymax AND a.ymax > b.ymin
                 WHERE a.crown_key % 97 = 0
             ) WHERE iou > 0.3e0
+        """,
+        "pipeline_e2e": W(stems, crowns, tiles) + f"""
+            , probes AS (SELECT * FROM stems WHERE stem_key % 10 = 0),
+            contained AS (
+                SELECT stem_tag, crown_id, 'contained' AS method FROM (
+                    SELECT s.stem_tag, c.crown_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.stem_tag ORDER BY c.ca DESC, c.crown_id
+                           ) AS rn
+                    FROM probes s JOIN crowns c
+                      ON s.x >= c.xmin AND s.x < c.xmax
+                     AND s.y >= c.ymin AND s.y < c.ymax
+                ) WHERE rn = 1
+            ),
+            residue AS (
+                SELECT * FROM probes
+                WHERE stem_tag NOT IN (SELECT stem_tag FROM contained)
+            ),
+            nearest AS (
+                SELECT stem_tag, crown_id, 'nearest' AS method FROM (
+                    SELECT s.stem_tag, c.crown_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.stem_tag ORDER BY {DIST_SQL}, c.crown_id
+                           ) AS rn
+                    FROM residue s CROSS JOIN crowns c
+                ) WHERE rn = 1
+            ),
+            matched AS (SELECT * FROM contained UNION ALL SELECT * FROM nearest),
+            tile_counts AS (
+                SELECT c.crown_id, COUNT(*) AS n_tiles
+                FROM crowns c JOIN tiles t
+                  ON c.xmin < t.txmax AND c.xmax > t.txmin
+                 AND c.ymin < t.tymax AND c.ymax > t.tymin
+                GROUP BY c.crown_id
+            ),
+            pts AS (
+                SELECT t.tile_key * 1000000 + s.i AS pid,
+                       t.txmin, t.tymin, t.txmax, t.tymax
+                FROM tiles t, generate_series(0, 999) s(i)
+            ), cloud AS (
+                SELECT txmin + ((pid * 104729)
+                           % CAST(ROUND((txmax - txmin) * 1000e0) AS BIGINT))
+                           / 1000e0 AS x,
+                       tymin + ((pid * 15485863)
+                           % CAST(ROUND((tymax - tymin) * 1000e0) AS BIGINT))
+                           / 1000e0 AS y,
+                       ((pid * 7919) % 35000) / 1000e0 AS z
+                FROM pts
+            ), zl AS (
+                SELECT c.crown_id, COUNT(*) AS n_pts,
+                       CAST(SUM(CAST(ROUND(l.z * 1000e0) AS BIGINT)) AS DOUBLE)
+                           / (1000e0 * COUNT(*)) AS z_mean
+                FROM crowns c JOIN cloud l
+                  ON l.x >= c.xmin AND l.x < c.xmax
+                 AND l.y >= c.ymin AND l.y < c.ymax
+                GROUP BY c.crown_id
+            )
+            SELECT m.stem_tag, m.crown_id, m.method,
+                   tc.n_tiles, zl.n_pts, zl.z_mean
+            FROM matched m
+            LEFT JOIN tile_counts tc ON tc.crown_id = m.crown_id
+            LEFT JOIN zl ON zl.crown_id = m.crown_id
         """,
         "containing_else_nearest": W(stems, crowns) + f"""
             , probes AS (SELECT * FROM stems WHERE stem_key % 20 = 0),

@@ -39,6 +39,7 @@ HEADLINE = [
     "median_pick",
     "dedup_keep_max_dbh",
     "docs_decode_stems",
+    "zonal_lidar_docs",
     "feature_nn",
     "stratified_split",
     "dedup_exact",

@@ -97,3 +97,19 @@ def decode_tiles(docs: DataFrame) -> DataFrame:
         F.regexp_extract(raster.text, r"h=(\d+)", 1).cast("int").alias("height"),
         F.regexp_extract(raster.text, r"w=(\d+)", 1).cast("int").alias("width"),
     )
+
+def decode_lidar(docs: DataFrame) -> DataFrame:
+    """docs → LiDAR tile manifest with laz:// media_ref + point count, ready
+    for media.load_lidar_points (S6 scan path)."""
+    d = docs.where(_meta_table() == "lidar")
+    attr = F.split(_span_of_kind("attr").text, ",")
+    span = _span_of_kind("lidar")
+    return d.select(
+        attr.getItem(0).alias("tile_id"),
+        attr.getItem(1).cast("double").alias("txmin"),
+        attr.getItem(2).cast("double").alias("tymin"),
+        attr.getItem(3).cast("double").alias("txmax"),
+        attr.getItem(4).cast("double").alias("tymax"),
+        span.media_ref.alias("media_ref"),
+        F.regexp_extract(span.text, r"n=(\d+)", 1).cast("int").alias("n_points"),
+    )

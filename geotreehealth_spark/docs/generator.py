@@ -237,6 +237,33 @@ def tiles_to_docs(tiles: DataFrame, bands: int = 12, h: int = 100, w: int = 100)
     )
 
 
+def lidar_to_docs(tiles: DataFrame, n_points: int = 1000) -> DataFrame:
+    """One doc per LiDAR tile: meta + attr(bounds CSV) + lidar(laz:// ref)
+    span — the S6 media_ref twin of tiles_to_docs (reference keeps per-tile
+    point-cloud paths in its labels CSV, store_data_structures.py:174-183)."""
+    attr_csv = F.concat_ws(
+        ",",
+        F.col("tile_id"),
+        F.col("txmin").cast("string"),
+        F.col("tymin").cast("string"),
+        F.col("txmax").cast("string"),
+        F.col("tymax").cast("string"),
+    )
+    return tiles.select(
+        F.concat(F.lit("laz-"), F.col("tile_id")).alias("doc_id"),
+        F.array(
+            _span(F.lit("meta"), F.lit("table=lidar;site=ALL"), "", 0),
+            _span(F.lit("attr"), attr_csv, "", 1),
+            _span(
+                F.lit("lidar"),
+                F.lit(f"n={n_points};fmt=xyz"),
+                F.concat(F.lit("laz://tile/"), F.col("tile_key").cast("string")),
+                2,
+            ),
+        ).alias("spans"),
+    )
+
+
 def build_docs(stems: DataFrame, crowns_geo: DataFrame, tiles: DataFrame) -> DataFrame:
     """The one physical input table: union of all entity docs."""
     return (

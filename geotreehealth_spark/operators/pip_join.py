@@ -95,8 +95,18 @@ def pip_assign_best(
     struct comparison is lexicographic on (dist asc, point_id asc) — exactly
     the documented tie-break.
     """
+    # slim the cell-join payload to ids + coords (VERDICT.md round 2 next 2):
+    # the output needs only (poly_id, point_id, dist), so every attribute
+    # column a caller left on either side would otherwise ride the candidate
+    # shuffle for nothing — at dense-forest pair counts that traffic is the
+    # join's bottleneck, not the hash probe
+    pts_slim = points.select(point_id, point_x, point_y)
+    poly_cols = [poly_id, *poly_bounds, *center]
+    if poly_wkb is not None:
+        poly_cols.append(poly_wkb)
+    polys_slim = polygons.select(*dict.fromkeys(poly_cols))
     cands = pip_join(
-        points, polygons, cell_size, point_x, point_y, poly_wkb, poly_bounds
+        pts_slim, polys_slim, cell_size, point_x, point_y, poly_wkb, poly_bounds
     ).withColumn(
         dist_col,
         distance_expr(F.col(point_x), F.col(point_y), F.col(center[0]), F.col(center[1])),

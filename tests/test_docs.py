@@ -81,3 +81,29 @@ def test_span_parity_and_offsets(spark):
 
 def decodeless_identity(stems):
     return stems
+
+
+def test_lidar_docs_roundtrip(spark):
+    """S6 media_ref path: tiles → lidar docs → decode → point-cloud load;
+    deterministic across calls, coordinates within tile bounds, z
+    milli-quantized in [0, 35)."""
+    from geotreehealth_spark import media, synth
+    from geotreehealth_spark.docs import decode, generator
+    from tests.conftest import SF_DIR
+
+    tiles = synth.tiles(spark, SF_DIR).where(F.col("tile_key") < 4)
+    docs = generator.lidar_to_docs(tiles, n_points=50)
+    manifest = decode.decode_lidar(docs)
+    assert manifest.count() == 4
+    pts = media.load_lidar_points(manifest).toPandas().sort_values("point_id")
+    assert len(pts) == 200
+    tb = tiles.toPandas().set_index("tile_id")
+    for tid, g in pts.groupby("tile_id"):
+        t = tb.loc[tid]
+        assert ((g.x >= t.txmin) & (g.x < t.txmax)).all()
+        assert ((g.y >= t.tymin) & (g.y < t.tymax)).all()
+    assert ((pts.z >= 0) & (pts.z < 35)).all()
+    # milli-quantized: z*1000 rounds to an integer within fp tolerance
+    assert ((pts.z * 1000) - (pts.z * 1000).round()).abs().max() < 1e-9
+    pts2 = media.load_lidar_points(manifest).toPandas().sort_values("point_id")
+    assert (pts.reset_index(drop=True) == pts2.reset_index(drop=True)).all().all()

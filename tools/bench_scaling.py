@@ -193,6 +193,10 @@ def main() -> None:
     print(json.dumps(report, indent=2))
     with open("BENCH_SCALING.json", "w") as f:
         json.dump(report, f, indent=2)
+    # level-stamped copy so N/4N pairs at different N coexist as evidence
+    # (BASELINE.md cites BENCH_SCALING_4_16.json and BENCH_SCALING_8_32.json)
+    with open(f"BENCH_SCALING_{n}_{n4}.json", "w") as f:
+        json.dump(report, f, indent=2)
 
 
 if __name__ == "__main__":
