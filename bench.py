@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_keep_max_dbh",
     "docs_decode_stems",
     "zonal_lidar_docs",
+    "pipeline_e2e",
     "feature_nn",
     "stratified_split",
     "dedup_exact",

@@ -30,5 +30,6 @@ from geotreehealth_spark.geo.kernels import (  # noqa: F401
     polygon_centroid,
     polygon_iou,
     polygon_overlap_ratio,
+    repair_ring,
     triangulate_ring,
 )

@@ -316,6 +316,91 @@ def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
     return np.vstack([out, out[:1]])
 
 
+def repair_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """shapely ``buffer(0)``-equivalent repair of a self-intersecting ring
+    (delineation_pipeline.py:170 fixes post-simplify invalid rings with it).
+
+    Splits the ring at proper edge crossings (intersection vertices inserted,
+    loops extracted with the classic stack walk) and keeps the sub-rings whose
+    orientation matches the ring's dominant winding — the nonzero-rule fill
+    that buffer(0) produces for a figure-eight: the counter-wound lobe
+    vanishes, the positive lobe(s) survive. Returns a list of closed simple
+    rings (one entry for an already-valid ring; >1 when repair yields a
+    multipolygon). Vertex-on-edge touches (t or u exactly 0/1) are treated as
+    already-valid topology, like GEOS does for boundary-touching rings.
+
+    Documented deviation: for rings that wind over a region MORE than once
+    (pentagram-style), the kept lobes can overlap instead of dissolving to
+    their union — the reference's post-simplify invalids are single
+    crossings (bowties), where the repair is exact.
+    """
+    pts = _open_ring(np.asarray(ring, dtype=np.float64))
+    n = len(pts)
+    if n < 3:
+        return []
+    # 1) proper pairwise edge intersections (non-adjacent edges only)
+    per_edge: list[list[tuple[float, tuple[float, float]]]] = [[] for _ in range(n)]
+    found = False
+    for i in range(n):
+        p = pts[i]
+        r = pts[(i + 1) % n] - p
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent through the closure
+            q = pts[j]
+            s = pts[(j + 1) % n] - q
+            denom = r[0] * s[1] - r[1] * s[0]
+            if denom == 0.0:
+                continue  # parallel; collinear overlaps treated as valid
+            qp = q - p
+            t = (qp[0] * s[1] - qp[1] * s[0]) / denom
+            u = (qp[0] * r[1] - qp[1] * r[0]) / denom
+            if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+                x = (float(p[0] + t * r[0]), float(p[1] + t * r[1]))
+                per_edge[i].append((t, x))
+                per_edge[j].append((u, x))
+                found = True
+    if not found:
+        return [np.vstack([pts, pts[:1]])]
+    # 2) augmented vertex sequence with crossing points inserted in order;
+    #    the SAME coordinate tuple object is inserted on both edges, so the
+    #    stack walk below matches crossings by exact equality
+    aug: list[tuple[float, float]] = []
+    for i in range(n):
+        aug.append((float(pts[i][0]), float(pts[i][1])))
+        for _, x in sorted(per_edge[i], key=lambda e: e[0]):
+            aug.append(x)
+    # 3) stack walk: revisiting a point closes the loop opened at its first
+    #    visit; the remainder (stack) closes as the final loop
+    loops: list[list[tuple[float, float]]] = []
+    stack: list[tuple[float, float]] = []
+    pos: dict[tuple[float, float], int] = {}
+    for pnt in aug:
+        if pnt in pos:
+            k = pos[pnt]
+            loop = stack[k:]
+            for q in loop[1:]:
+                pos.pop(q, None)
+            if len(loop) >= 3:
+                loops.append(loop)
+            del stack[k + 1:]
+        else:
+            pos[pnt] = len(stack)
+            stack.append(pnt)
+    if len(stack) >= 3:
+        loops.append(stack)
+    # 4) keep lobes wound with the dominant orientation (nonzero-rule fill)
+    areas = [_signed_area(np.asarray(lp)) for lp in loops]
+    total = sum(areas)
+    sign = 1.0 if total >= 0 else -1.0
+    out = []
+    for lp, a in zip(loops, areas):
+        if a * sign > 0:
+            arr = np.asarray(lp)
+            out.append(np.vstack([arr, arr[:1]]))
+    return out
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew monotone-chain convex hull → closed CCW ring (k,2).
 

@@ -224,3 +224,43 @@ class TestGeneralClip:
             assert got == pytest.approx(want, abs=1e-9)
             checked += 1
         assert checked >= 15
+
+
+class TestRepairRing:
+    """buffer(0)-equivalent self-intersection repair (VERDICT.md round 2
+    missing 4; reference delineation_pipeline.py:170)."""
+
+    def test_bowtie_keeps_dominant_lobe(self):
+        from geotreehealth_spark.geo.kernels import repair_ring
+
+        bow = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], float)
+        parts = repair_ring(bow)
+        assert len(parts) == 1
+        assert polygon_area(parts[0]) == pytest.approx(1.0)
+        ring = parts[0]
+        assert np.array_equal(ring[0], ring[-1])
+
+    def test_valid_ring_passthrough(self):
+        from geotreehealth_spark.geo.kernels import repair_ring
+
+        sq = square(0, 0, 5)
+        parts = repair_ring(sq)
+        assert len(parts) == 1
+        assert polygon_area(parts[0]) == pytest.approx(25.0)
+        # concave but valid: untouched
+        L = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]], float)
+        parts = repair_ring(L)
+        assert len(parts) == 1 and polygon_area(parts[0]) == pytest.approx(3.0)
+
+    def test_post_simplify_pinched_quad(self):
+        from geotreehealth_spark.geo.kernels import repair_ring
+
+        quad = np.array([[0, 0], [4, 0.1], [4, 0], [0, 0.1], [0, 0]], float)
+        parts = repair_ring(quad)
+        assert len(parts) == 1
+        assert polygon_area(parts[0]) == pytest.approx(0.1)
+
+    def test_degenerate_inputs(self):
+        from geotreehealth_spark.geo.kernels import repair_ring
+
+        assert repair_ring(np.array([[0.0, 0.0], [1.0, 1.0]])) == []
