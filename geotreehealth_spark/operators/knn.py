@@ -41,18 +41,21 @@ from geotreehealth_spark.operators.pip_join import distance_expr
 
 def _data_bounds(
     right: DataFrame, rx: str, ry: str
-) -> tuple[float, float, float, float] | None:
-    """(xmin, xmax, ymin, ymax) of the candidate side — 4 scalars, one agg.
+) -> tuple[float, float, float, float, int] | None:
+    """(xmin, xmax, ymin, ymax, count) of the candidate side — one agg job
+    shared by the coverage proofs AND the density-based cell sizing (fused so
+    auto-sized calls don't pay a separate count() scan).
     Returns None when the candidate side is empty (ADVICE.md round 2: the
     min/max come back NULL; callers short-circuit to an empty result instead
     of crashing on float(None))."""
     b = right.agg(
         F.min(rx).alias("x0"), F.max(rx).alias("x1"),
         F.min(ry).alias("y0"), F.max(ry).alias("y1"),
+        F.count("*").alias("n"),
     ).first()
     if b.x0 is None:
         return None
-    return float(b.x0), float(b.x1), float(b.y0), float(b.y1)
+    return float(b.x0), float(b.x1), float(b.y0), float(b.y1), int(b.n)
 
 
 def _with_cells(right: DataFrame, cell_size: float, rx: str, ry: str) -> DataFrame:
@@ -107,31 +110,28 @@ def knn_join(
     """
     lx, ly = left_xy
     rx, ry = right_xy
-    if cell_size is None:
-        # aim for ring-1 sufficiency: cell ~ expected k-th radius * 2 under
-        # uniform density; escalation handles sparse regions exactly.
-        n_right = right.count()
-        density = max(n_right, 1) / (extent * extent)
-        cell_size = max(min(2.0 * math.sqrt(k / density), extent / 2), extent / 4096)
-
     w = Window.partitionBy(left_id).orderBy(F.col("dist").asc(), F.col(right_id).asc())
     results = []
     persisted: list[DataFrame] = []
     remaining = left
-    right_cells = _with_cells(right, cell_size, rx, ry).persist()
-    persisted.append(right_cells)
     bounds = _data_bounds(right, rx, ry)
     if bounds is None:
         # empty candidate side: the crossJoin plan yields zero rows with the
         # full output schema (left cols + right cols + dist + knn_rank)
-        right_cells.unpersist()
         empty = remaining.crossJoin(right.limit(0)).withColumn(
             "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
         )
         return empty.withColumn("knn_rank", F.row_number().over(w)).where(
             F.col("knn_rank") <= k
         )
-    bx0, bx1, by0, by1 = bounds
+    bx0, bx1, by0, by1, n_right = bounds
+    if cell_size is None:
+        # aim for ring-1 sufficiency: cell ~ expected k-th radius * 2 under
+        # uniform density; escalation handles sparse regions exactly.
+        density = max(n_right, 1) / (extent * extent)
+        cell_size = max(min(2.0 * math.sqrt(k / density), extent / 2), extent / 4096)
+    right_cells = _with_cells(right, cell_size, rx, ry).persist()
+    persisted.append(right_cells)
     ring = 1
     rounds = 0
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
@@ -232,10 +232,6 @@ def quadrant_knn_join(
     """
     lx, ly = left_xy
     rx, ry = right_xy
-    if cell_size is None:
-        n_right = right.count()
-        density = max(n_right, 1) / (extent * extent)
-        cell_size = max(min(8.0 * math.sqrt(1.0 / density), extent / 2), extent / 1024)
 
     quadrant = (
         F.when((F.col(rx) >= F.col(lx)) & (F.col(ry) >= F.col(ly)), F.lit("NE"))
@@ -249,11 +245,8 @@ def quadrant_knn_join(
     results = []
     persisted: list[DataFrame] = []
     remaining = left
-    right_cells = _with_cells(right, cell_size, rx, ry).persist()
-    persisted.append(right_cells)
     bounds = _data_bounds(right, rx, ry)
     if bounds is None:
-        right_cells.unpersist()
         empty = remaining.crossJoin(right.limit(0)).withColumn(
             "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
         )
@@ -261,7 +254,12 @@ def quadrant_knn_join(
         return empty.withColumn("__rn", F.row_number().over(w)).where(
             F.col("__rn") == 1
         ).drop("__rn")
-    bx0, bx1, by0, by1 = bounds
+    bx0, bx1, by0, by1, n_right = bounds
+    if cell_size is None:
+        density = max(n_right, 1) / (extent * extent)
+        cell_size = max(min(8.0 * math.sqrt(1.0 / density), extent / 2), extent / 1024)
+    right_cells = _with_cells(right, cell_size, rx, ry).persist()
+    persisted.append(right_cells)
     ring = 1
     rounds = 0
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)

@@ -70,8 +70,12 @@ crowns_j = (crowns_j.withColumn("cy", F.col("cy") + off)
                     .withColumn("ymax", F.col("ymax") + off)
                     .withColumn("crown_id", F.concat("crown_id", F.lit("_"), "rep"))
                     .drop("rep"))
-stems = stems.localCheckpoint(eager=True)
-crowns_j = crowns_j.localCheckpoint(eager=True)
+# FIXED partition count at every level: both levels read identical layouts,
+# only executor parallelism differs (the fixture parquet is one row group —
+# without this the join's map side ran 1-2 tasks at ANY core count, which is
+# what produced the round-2 0.45-0.46 "scaling wall", not memory bandwidth)
+stems = stems.repartition(64).localCheckpoint(eager=True)
+crowns_j = crowns_j.repartition(64).localCheckpoint(eager=True)
 
 def release():
     spark.catalog.clearCache()
@@ -114,7 +118,7 @@ crowns = (crowns.withColumn("cy", F.col("cy") + off)
 # zonal: shifted tile grid per replica; crown polygons from the generator
 geo = generator.crowns_with_geometry(
     crowns.withColumn("crown_key", F.col("crown_key") * 100 + F.col("rep"))
-).localCheckpoint(eager=True)
+).repartition(64).localCheckpoint(eager=True)
 base_tiles = tiling.tile_grid(spark, extent=1000.0, tile_size=100.0, overlap=0.0)
 tiles = (base_tiles.crossJoin(F.broadcast(reps))
          .withColumn("tymin", F.col("tymin") + off)
