@@ -151,6 +151,31 @@ def resolve_frames(
     return np.stack(frames)
 
 
+AUD_PREFIX = "aud://"
+
+
+def resolve_audio(media_ref: str, n_samples: int, sample_rate: int = 16000) -> np.ndarray:
+    """aud:// media_ref → float32 PCM waveform in [-1, 1].
+
+    Deterministic synthetic clip (two seeded sinusoids + seeded noise) — the
+    sandbox stand-in for an audio decoder (soundfile/ffmpeg absent);
+    production plugs a real decoder into decode_external. The synthetic
+    spectrum is ref-dependent so spectral features differ per clip."""
+    if not media_ref.startswith(AUD_PREFIX):
+        return decode_external(media_ref)
+    seed = (hash_ref(media_ref) * 2654435761 + 97) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    f1 = float(rng.integers(80, 2000))
+    f2 = float(rng.integers(2000, 7000))
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    wave = (
+        0.6 * np.sin(2 * np.pi * f1 * t)
+        + 0.25 * np.sin(2 * np.pi * f2 * t)
+        + 0.1 * rng.standard_normal(n_samples)
+    )
+    return np.clip(wave, -1.0, 1.0).astype(np.float32)
+
+
 def hash_ref(media_ref: str) -> int:
     """Stable non-cryptographic ref hash (python hash() is salted per run)."""
     h = 1469598103934665603

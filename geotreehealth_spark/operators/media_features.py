@@ -49,6 +49,57 @@ def image_features(
     return refs.select(id_col, ref_col).mapInPandas(per_batch, schema)
 
 
+def audio_features(
+    refs: DataFrame,
+    id_col: str = "doc_id",
+    ref_col: str = "media_ref",
+    n_samples: int = 16000,
+    sample_rate: int = 16000,
+    frame: int = 1024,
+    hop: int = 512,
+) -> DataFrame:
+    """Per clip: windowed audio features over the decoded waveform.
+
+    Output: (id, frame_idx int, rms double, zcr double, centroid double) —
+    one row per analysis window (the exploded layout downstream filters
+    expect): RMS energy, zero-crossing rate, and FFT spectral centroid in Hz.
+    Decode + framing + FFT all run vectorized inside the Arrow batch; the
+    sandbox decoder is the deterministic media.resolve_audio (production
+    audio decode is the decode_external hook).
+    """
+    schema = f"{id_col} string, frame_idx int, rms double, zcr double, centroid double"
+
+    def per_batch(it):
+        freqs = np.fft.rfftfreq(frame, d=1.0 / sample_rate)
+        for pdf in it:
+            ids, fidx, rms, zcr, cent = [], [], [], [], []
+            for row in pdf.itertuples():
+                wave = media.resolve_audio(
+                    getattr(row, ref_col), n_samples, sample_rate
+                ).astype(np.float64)
+                n_frames = max((len(wave) - frame) // hop + 1, 0)
+                if n_frames == 0:
+                    continue
+                idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+                frames = wave[idx]  # (n_frames, frame) — one strided gather
+                e = np.sqrt(np.mean(frames * frames, axis=1))
+                z = np.mean(np.abs(np.diff(np.signbit(frames), axis=1)), axis=1)
+                mag = np.abs(np.fft.rfft(frames, axis=1))
+                denom = mag.sum(axis=1)
+                c = np.where(denom > 0, (mag * freqs[None, :]).sum(axis=1) /
+                             np.where(denom > 0, denom, 1.0), 0.0)
+                ids.extend([str(getattr(row, id_col))] * n_frames)
+                fidx.extend(range(n_frames))
+                rms.extend(e.tolist())
+                zcr.extend(z.tolist())
+                cent.extend(c.tolist())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "rms": rms, "zcr": zcr, "centroid": cent}
+            )
+
+    return refs.select(id_col, ref_col).mapInPandas(per_batch, schema)
+
+
 def frame_sample_features(
     refs: DataFrame,
     id_col: str = "doc_id",

@@ -67,3 +67,28 @@ def test_translate_to_window(spark):
     )
     out = tiling.translate_to_window(df, "x", "y", "txmin", "tymax").collect()[0]
     assert out.wx == 3.0 and out.wy == 3.0
+
+
+def test_audio_features(spark):
+    """Audio modality: aud:// decode → windowed RMS/ZCR/spectral-centroid,
+    deterministic across runs, spectra distinguish different refs."""
+    from geotreehealth_spark.operators import media_features
+
+    refs = spark.createDataFrame(
+        [("a1", "aud://clip/1"), ("a2", "aud://clip/2")],
+        "doc_id string, media_ref string",
+    )
+    out = media_features.audio_features(refs, n_samples=8000).toPandas()
+    n_frames = (8000 - 1024) // 512 + 1
+    assert len(out) == 2 * n_frames
+    assert set(out.doc_id) == {"a1", "a2"}
+    assert (out.rms > 0).all() and (out.rms < 1.0).all()
+    assert (out.zcr >= 0).all() and (out.zcr <= 1.0).all()
+    assert (out.centroid > 0).all() and (out.centroid < 8000).all()
+    # different refs → different dominant spectra
+    c1 = out[out.doc_id == "a1"].centroid.mean()
+    c2 = out[out.doc_id == "a2"].centroid.mean()
+    assert abs(c1 - c2) > 1.0
+    out2 = media_features.audio_features(refs, n_samples=8000).toPandas()
+    assert (out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+            == out2.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)).all().all()
