@@ -440,6 +440,16 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tdedup.jaccard_pairs(docs, threshold=0.5, max_df=max_df)
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram shingle Jaccard near-dup pairs with the same
+    85%-of-corpus stop-shingle cap as jaccard_pairs."""
+    from geotreehealth_spark.text import dedup as tdedup
+
+    docs = _documents(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    max_df = (85 * docs.count()) // 100
+    return tdedup.ngram_jaccard_pairs(docs, n=4, threshold=0.35, max_df=max_df)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotreehealth_spark.text import similarity
 
@@ -770,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "jaccard_pairs": q_jaccard_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1234,6 +1245,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i / (sa.sz + sb.sz - i) >= 0.5e0
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            sh0 AS (
+                -- constant-range series + length filter: DuckDB's
+                -- generate_series cannot laterally reference text columns
+                SELECT DISTINCT doc_id, substr(lower(text), s.i, 4) AS shingle
+                FROM docs, generate_series(1, 4096) s(i)
+                WHERE s.i <= LENGTH(lower(text)) - 3
+                  AND LENGTH(substr(lower(text), s.i, 4)) = 4
+            ),
+            sh AS (
+                SELECT * FROM sh0 WHERE shingle NOT IN (
+                    SELECT shingle FROM sh0 GROUP BY shingle
+                    HAVING COUNT(*) > (85 * (SELECT COUNT(*) FROM docs)) // 100
+                )
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   i / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.sz + sb.sz - i) >= 0.35e0
         """,
         "ann_cosine_topk": """
             SELECT probe_id, neighbor_id, sim, rank FROM (

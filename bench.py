@@ -47,6 +47,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "jaccard_pairs",
+    "ngram_jaccard_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "rp_lsh_pairs",

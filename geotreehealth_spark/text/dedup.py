@@ -68,6 +68,68 @@ def tokens_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def shingles_df(
+    docs: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct (id, shingle) pairs: overlapping character n-grams of the
+    lowercased text — pure Catalyst (sequence + transform + explode), no
+    Python. Texts shorter than n yield no shingles."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 0)), "
+        f"i -> substr(lower({text_col}), i, {n}))"
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") == n)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b, jaccard) with character-n-gram-set Jaccard >=
+    threshold — the shingle-level near-dup detector (robust to tokenization
+    differences, the standard n-gram variant of jaccard_pairs). Same
+    inverted-index plan: shingle posting lists drive a bucketed self-join,
+    max_df caps stop-shingles, Jaccard computed over the post-filter shingle
+    universe (mirrored by the SQL oracle)."""
+    sh = shingles_df(docs, n, id_col, text_col)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sz", "__sa"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sz", "__sb"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (text_hash, n_docs, keeper_id)."""
     return (
