@@ -20,7 +20,9 @@ def test_stems_roundtrip(spark):
 
 
 def test_crowns_roundtrip_and_bounds(spark):
-    crowns = synth.crowns(spark, SF_DIR).limit(500)
+    # deterministic sample: limit() would pick different rows per evaluation
+    # now that ingest repartitions round-robin (synth.register_tpch_views)
+    crowns = synth.crowns(spark, SF_DIR).where(F.col("crown_key") % 37 == 0)
     geo = generator.crowns_with_geometry(crowns)
     docs = generator.crowns_to_docs(geo)
     decoded = decode.decode_crowns(docs)

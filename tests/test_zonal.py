@@ -1,6 +1,7 @@
 """Zonal raster extraction parity vs a sequential numpy oracle (A6)."""
 
 import numpy as np
+import pyspark.sql.functions as F
 import pytest
 
 from geotreehealth_spark import media, synth
@@ -19,7 +20,9 @@ def test_rasterize_mask_square():
 
 
 def test_zonal_raster_parity(spark):
-    crowns = synth.crowns(spark, SF_DIR).limit(300)
+    # deterministic sample (limit() picks different rows per evaluation on
+    # the multi-partition ingest): ~300 crowns
+    crowns = synth.crowns(spark, SF_DIR).where(F.col("crown_key") % 15 == 0)
     geo = generator.crowns_with_geometry(crowns)
     tiles = tiling.tile_grid(spark, extent=1000.0, tile_size=100.0, overlap=0.0).selectExpr(
         "tile_id", "txmin", "tymin", "txmax", "tymax",
@@ -52,13 +55,15 @@ def test_zonal_raster_parity(spark):
         np.testing.assert_allclose(np.asarray(g.band_mean), allv.mean(axis=1), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(g.band_std), allv.std(axis=1), rtol=1e-9)
         checked += 1
-    assert checked > 250
+    assert checked > 200
 
 
 def test_zonal_overlapping_tiles_exactly_once(spark):
     """With a 10 m overlap manifest + core_bounds ownership, results must
     equal the abutting-grid run (each pixel counted exactly once)."""
-    crowns = synth.crowns(spark, SF_DIR).limit(300)
+    # deterministic sample (limit() picks different rows per evaluation on
+    # the multi-partition ingest): ~300 crowns
+    crowns = synth.crowns(spark, SF_DIR).where(F.col("crown_key") % 15 == 0)
     geo = generator.crowns_with_geometry(crowns)
 
     def manifest(overlap):
