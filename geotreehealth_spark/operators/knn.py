@@ -184,10 +184,21 @@ def knn_join(
                 F.broadcast(complete_ids), left_id, "left_anti"
             ).persist()
             persisted.append(remaining)
-            if remaining.count() == 0:
+            n_rem = remaining.count()
+            if n_rem == 0:
                 break
+            # cost-based fallback switch: when the residue is small enough
+            # that residue x n_right distance rows are cheaper than another
+            # ring round (each round is a full job), jump straight to the
+            # exact crossJoin instead of escalating rings — a single interior
+            # probe with a provably-empty region otherwise burns O(log extent)
+            # rounds reaching bounds coverage (measured: 4 extra rounds,
+            # ~20 s, for ONE straggler at sf0.1)
+            if n_rem * max(n_right, 1) <= 50_000_000:
+                rounds = max_proof_rounds  # next iteration takes the final branch
+            else:
+                rounds += 1
             ring *= 4  # aggressive escalation: proof rounds are the expensive unit
-            rounds += 1
         out = results[0]
         for r in results[1:]:
             out = out.unionByName(r)
@@ -315,10 +326,16 @@ def quadrant_knn_join(
                 F.broadcast(proven), left_id, "left_anti"
             ).persist()
             persisted.append(remaining)
-            if remaining.count() == 0:
+            n_rem = remaining.count()
+            if n_rem == 0:
                 break
+            # cost-based fallback switch (see knn_join): tiny residues go
+            # straight to the exact crossJoin instead of ring-escalating
+            if n_rem * max(n_right, 1) <= 50_000_000:
+                rounds = max_proof_rounds
+            else:
+                rounds += 1
             ring *= 4  # aggressive escalation: proof rounds are the expensive unit
-            rounds += 1
         out = results[0]
         for r in results[1:]:
             out = out.unionByName(r)
