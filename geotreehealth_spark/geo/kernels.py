@@ -83,6 +83,75 @@ def is_convex(ring: np.ndarray) -> bool:
     return bool((cross >= 0).all() or (cross <= 0).all())
 
 
+def _sh_clip_ring(subject_open: np.ndarray, clip_ccw_open: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman output vertex list (open) of subject ∩ clip.
+    `clip` must be convex CCW; `subject` any simple polygon. For concave
+    subjects the output can carry zero-width bridge edges joining
+    disconnected components — a weakly-simple ring whose signed area and
+    point-containment semantics are exact (see _sh_clip_signed_area)."""
+    out = subject_open
+    n_clip = len(clip_ccw_open)
+    for i in range(n_clip):
+        if len(out) == 0:
+            return np.empty((0, 2))
+        a = clip_ccw_open[i]
+        b = clip_ccw_open[(i + 1) % n_clip]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        sx = out[:, 0] - a[0]
+        sy = out[:, 1] - a[1]
+        side = ex * sy - ey * sx
+        nxt = np.roll(side, -1)
+        pts = []
+        n = len(out)
+        for j in range(n):
+            cur_in = side[j] >= 0
+            nxt_in = nxt[j] >= 0
+            p, q = out[j], out[(j + 1) % n]
+            if cur_in:
+                pts.append(p)
+            if cur_in != nxt_in:
+                t = side[j] / (side[j] - nxt[j])
+                pts.append(p + t * (q - p))
+        out = np.asarray(pts) if pts else np.empty((0, 2))
+    return out if len(out) >= 3 else np.empty((0, 2))
+
+
+def polygon_intersection_parts(subject: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """Exact intersection GEOMETRY of two arbitrary simple polygons, as a
+    list of closed CCW rings whose disjoint union is subject ∩ clip (J10
+    overlay; reference gpd.overlay(how='intersection'),
+    delineation_utils.py:108-109,161-163).
+
+    Representation: when a convex side exists the result is a single
+    (possibly bridge-seamed) ring; otherwise the clip is ear-clipped and one
+    ring per non-empty triangle piece is emitted — pieces partition the
+    intersection region, so their areas sum to clip_area exactly and
+    containment tests against the piece set are exact. Zero-area pieces are
+    dropped."""
+    sub = _open_ring(np.asarray(subject, dtype=np.float64))
+    clp = _open_ring(np.asarray(clip, dtype=np.float64))
+    if len(sub) < 3 or len(clp) < 3:
+        return []
+    if is_convex(clp):
+        if _signed_area(clp) < 0:
+            clp = clp[::-1]
+        pieces = [_sh_clip_ring(sub, clp)]
+    elif is_convex(sub):
+        if _signed_area(sub) < 0:
+            sub = sub[::-1]
+        pieces = [_sh_clip_ring(clp, sub)]
+    else:
+        pieces = [_sh_clip_ring(sub, tri) for tri in triangulate_ring(clp)]
+    out = []
+    for p in pieces:
+        if len(p) < 3 or _signed_area(p) == 0.0:
+            continue
+        if _signed_area(p) < 0:
+            p = p[::-1]
+        out.append(np.vstack([p, p[:1]]))
+    return out
+
+
 def _sh_clip_signed_area(subject_open: np.ndarray, clip_ccw_open: np.ndarray) -> float:
     """Signed area of subject ∩ clip via Sutherland–Hodgman half-plane
     sweeps. `clip` must be convex CCW (open vertex list); `subject` may be ANY

@@ -179,6 +179,40 @@ def geometric_difference(
     return pairs.select(id_col, a_wkb, b_wkb).mapInPandas(per_batch, schema)
 
 
+def overlay_intersection(
+    pairs: DataFrame,
+    id_col: str,
+    a_wkb: str = "a_wkb",
+    b_wkb: str = "b_wkb",
+) -> DataFrame:
+    """J10 exact overlay: per row, the intersection GEOMETRY of two arbitrary
+    simple polygons (reference gpd.overlay(how='intersection') over
+    partitions, delineation_utils.py:108-109,161-163). Output one row per
+    intersection piece: (id, part_idx, area, geometry_wkb); empty
+    intersections emit nothing. Pieces partition the intersection region
+    (kernels.polygon_intersection_parts), so SUM(area) per id is the exact
+    intersection area. Runs as mapInPandas — geometry never leaves the Arrow
+    batch, output rows are slim."""
+    from geotreehealth_spark.geo import kernels
+
+    schema = f"{id_col} string, part_idx int, area double, geometry_wkb binary"
+
+    def per_batch(it):
+        for pdf in it:
+            out = {id_col: [], "part_idx": [], "area": [], "geometry_wkb": []}
+            for row in pdf.itertuples():
+                ra = wkb.decode_polygon(getattr(row, a_wkb))
+                rb = wkb.decode_polygon(getattr(row, b_wkb))
+                for i, ring in enumerate(kernels.polygon_intersection_parts(ra, rb)):
+                    out[id_col].append(getattr(row, id_col))
+                    out["part_idx"].append(i)
+                    out["area"].append(kernels.polygon_area(ring))
+                    out["geometry_wkb"].append(wkb.encode_polygon(ring))
+            yield pd.DataFrame(out)
+
+    return pairs.select(id_col, a_wkb, b_wkb).mapInPandas(per_batch, schema)
+
+
 # ---------------------------------------------------------------------------
 # P8: geometry-type filter + Multi→single explode
 # ---------------------------------------------------------------------------

@@ -161,7 +161,8 @@ class TestGeneralClip:
     @staticmethod
     def _star(cx, cy, r_out, r_in, n, seed):
         rng = np.random.RandomState(seed)
-        th = np.sort(rng.uniform(0, 2 * np.pi, 2 * n))
+        base = np.arange(2 * n) * (np.pi / n)
+        th = base + rng.uniform(-0.3, 0.3, 2 * n) * (np.pi / n)
         rr = np.where(np.arange(2 * n) % 2 == 0, r_out, r_in) * rng.uniform(
             0.7, 1.0, 2 * n
         )

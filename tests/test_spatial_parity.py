@@ -207,7 +207,8 @@ def _concave_star_ring(cx, cy, r_out, seed):
     shape class the round-2 convex-only clip kernel couldn't intersect."""
     rng = np.random.RandomState(seed)
     n = 6
-    th = np.sort(rng.uniform(0, 2 * np.pi, 2 * n))
+    base = np.arange(2 * n) * (np.pi / n)
+    th = base + rng.uniform(-0.3, 0.3, 2 * n) * (np.pi / n)
     rr = np.where(np.arange(2 * n) % 2 == 0, r_out, 0.45 * r_out) * rng.uniform(
         0.75, 1.0, 2 * n
     )
