@@ -30,6 +30,8 @@ AQE skew-splits hot cells — and the completeness proofs make the result EXACT
 from __future__ import annotations
 
 import math
+import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,6 +39,11 @@ from pyspark.sql.window import Window
 
 from geotreehealth_spark.geo import cellexprs
 from geotreehealth_spark.operators.pip_join import distance_expr
+
+
+def _trace(msg: str, t0: float) -> None:
+    if os.environ.get("SPARK_GRAFT_KNN_TRACE"):
+        print(f"[knn-trace] {msg}: {time.time() - t0:.2f}s", flush=True)
 
 
 def _data_bounds(
@@ -111,14 +118,17 @@ def knn_join(
     lx, ly = left_xy
     rx, ry = right_xy
     w = Window.partitionBy(left_id).orderBy(F.col("dist").asc(), F.col(right_id).asc())
-    results = []
-    persisted: list[DataFrame] = []
-    remaining = left
-    bounds = _data_bounds(right, rx, ry)
+    # ONE scan of the candidate side feeds everything: the bounds/count agg,
+    # the cell-keyed join input (a cheap map over the cache), and the rare
+    # escalation path — profiling at sf0.1 showed each re-scan of a
+    # synthesized right side costs ~2.5 s, dominating kNN latency.
+    right_mat = right.persist()
+    bounds = _data_bounds(right_mat, rx, ry)
     if bounds is None:
+        right_mat.unpersist()
         # empty candidate side: the crossJoin plan yields zero rows with the
         # full output schema (left cols + right cols + dist + knn_rank)
-        empty = remaining.crossJoin(right.limit(0)).withColumn(
+        empty = left.crossJoin(right.limit(0)).withColumn(
             "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
         )
         return empty.withColumn("knn_rank", F.row_number().over(w)).where(
@@ -126,88 +136,180 @@ def knn_join(
         )
     bx0, bx1, by0, by1, n_right = bounds
     if cell_size is None:
-        # aim for ring-1 sufficiency: cell ~ expected k-th radius * 2 under
-        # uniform density; escalation handles sparse regions exactly.
+        # aim for ring-1 sufficiency: cell ~ 1.25x expected k-th radius under
+        # uniform density (r3 used 2x; the tighter cell cuts the candidate
+        # join fan-out ~2.5x and escalation handles sparse regions exactly).
         density = max(n_right, 1) / (extent * extent)
-        cell_size = max(min(2.0 * math.sqrt(k / density), extent / 2), extent / 4096)
-    right_cells = _with_cells(right, cell_size, rx, ry).persist()
-    persisted.append(right_cells)
-    ring = 1
-    rounds = 0
+        cell_size = max(min(1.25 * math.sqrt(k / density), extent / 2), extent / 4096)
+    # slim projections: the candidate explode/join/rank pipeline moves ONLY
+    # (id, x, y, dist) — full rows are re-attached to the ~|left|*k winners by
+    # one pair of joins inside the same job (r4: the r3 pipeline dragged all
+    # ~25 left+right columns through every exchange and persist).
+    left_mat = left.persist()
+    left_slim = left_mat.select(left_id, lx, ly)
+    right_slim = right_mat.select(right_id, rx, ry)
+    right_cells = _with_cells(right_slim, cell_size, rx, ry)
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
+
+    scratch: list[DataFrame] = []
+
+    def ranked_for(rem: DataFrame, ring: int, final: bool) -> DataFrame:
+        if final:
+            # tiny-residue fallback: a direct cross join beats exploding a
+            # quarter-million ring cells per row (window path: the slim
+            # candidates are only computed once here)
+            cands = rem.crossJoin(right_slim).withColumn(
+                "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+            )
+        else:
+            cands = _candidates(rem, right_cells, cell_size, ring, lx, ly, rx, ry)
+        if min_dist is not None:
+            cands = cands.where(F.col("dist") >= min_dist)
+        if k == 1 and not final:
+            # two-phase exact argmin instead of a window: min(dist) is a
+            # fixed-width HashAggregate with map-side partial combine, so the
+            # shuffle moves ~|rem| group rows, not every candidate row (a
+            # min-over-struct agg would fall back to SortAggregate — measured
+            # as slow as the window it replaced); the equality join back is a
+            # broadcast of the tiny per-group minima, and the window ranks
+            # only the min-dist rows (exact right_id tie-break preserved).
+            cands = cands.persist()  # read by both phases within one job
+            scratch.append(cands)
+            m = cands.groupBy(left_id).agg(F.min("dist").alias("__md"))
+            matched = (
+                cands.join(m, left_id)
+                .where(F.col("dist") == F.col("__md"))
+                # a USING join moves the key column first — restore order
+                .select(left_id, lx, ly, right_id, rx, ry, "dist")
+            )
+            return matched.withColumn("knn_rank", F.row_number().over(w)).where(
+                F.col("knn_rank") <= 1
+            )
+        return cands.withColumn("knn_rank", F.row_number().over(w)).where(
+            F.col("knn_rank") <= k
+        )
+
+    def proven_for(rem: DataFrame, ranked: DataFrame, ring: int) -> DataFrame:
+        # completeness proofs:
+        # (a) k-th neighbor strictly inside the guaranteed ring radius, or
+        # (b) the ring box covers the whole data bounds around this probe —
+        #     whatever was found (even < k rows) is ALL there is.
+        rcs = float(ring * cell_size)
+        covered_all = (
+            (F.lit(bx1) - F.col(lx) <= rcs)
+            & (F.col(lx) - F.lit(bx0) <= rcs)
+            & (F.lit(by1) - F.col(ly) <= rcs)
+            & (F.col(ly) - F.lit(by0) <= rcs)
+        )
+        kth = ranked.groupBy(left_id).agg(
+            F.max("dist").alias("__kth"), F.count("*").alias("__n")
+        )
+        proven_dist = kth.where(
+            (F.col("__n") >= k) & (F.col("__kth") < rcs)
+        ).select(left_id)
+        proven_cov = rem.where(covered_all).select(left_id)
+        return proven_dist.unionByName(proven_cov).distinct()
+
+    def enrich(slim: DataFrame) -> DataFrame:
+        # winners -> full output rows: AQE broadcasts the slim winner set and
+        # streams the cached left/right sides — no wide shuffles
+        return (
+            slim.select(left_id, right_id, "dist", "knn_rank")
+            .join(left_mat, left_id)
+            .join(right_mat, right_id)
+            .select(*left.columns, *right.columns, "dist", "knn_rank")
+        )
+
+    # --- fused prologue: rings 1 and 4 composed into ONE job ---------------
+    # Round 2 (item 3 of VERDICT r3): the per-round count() driver barriers
+    # dominated kNN latency (2-3 full jobs per call). Here ring-1 and ring-4
+    # candidates, both proofs, the winner enrichment, and the leftover residue
+    # are one DAG whose single localCheckpoint job materializes everything;
+    # per-ring ranked rows and residues are persisted so the branches sharing
+    # them compute each subtree once WITHIN that job. The residue emerges as
+    # tagged rows of the same checkpoint, so deciding whether to escalate
+    # costs a block-read count, not another job. No broadcast hints on the
+    # probe-proportional proven-id sets (r3 item 2).
+    pieces: list[DataFrame] = []
+    prologue_cached: list[DataFrame] = []
+    rem = left_slim
+    for ring in (r for r in (1, 4) if r < max_ring):
+        ranked = ranked_for(rem, ring, final=False).persist()
+        prologue_cached.append(ranked)
+        proven = proven_for(rem, ranked, ring)
+        pieces.append(ranked.join(proven, left_id, "left_semi"))
+        rem = rem.join(proven, left_id, "left_anti").persist()
+        prologue_cached.append(rem)
+    good_slim = pieces[0]
+    for p in pieces[1:]:
+        good_slim = good_slim.unionByName(p)
+    enriched = enrich(good_slim).withColumn("__residue", F.lit(-1))
+    res_piece = rem.select(left_id).join(left_mat, left_id)
+    for f in right.schema.fields:
+        res_piece = res_piece.withColumn(f.name, F.lit(None).cast(f.dataType))
+    res_piece = (
+        res_piece.select(*left.columns, *right.columns)
+        .withColumn("dist", F.lit(None).cast("double"))
+        .withColumn("knn_rank", F.lit(-1))
+        .withColumn("__residue", F.lit(1))
+    )
+    allp = enriched.unionByName(res_piece)
+    # THE one job barrier for the common case; also the flat-lineage,
+    # leak-free result handle (ADVICE.md round 2). Long-lived sessions making
+    # MANY kNN calls can free the retained blocks with result.rdd.unpersist().
+    chk = allp.localCheckpoint(eager=True)
+    for df in prologue_cached + scratch:
+        df.unpersist()
+    scratch.clear()
+    good = chk.where(F.col("__residue") == -1).drop("__residue")
+    residue = chk.where(F.col("__residue") == 1).select(left_id, lx, ly)
+    n_rem = residue.count()  # reads checkpointed blocks — not a recompute
+    if n_rem == 0:
+        right_mat.unpersist()
+        left_mat.unpersist()
+        return good
+
+    # --- rare path: ring-16+ escalation loop on the tagged residue ---------
+    # (reuses the still-cached left/right sides — no re-scan)
+    # cost-based switch first: when residue x n_right distance rows are
+    # cheaper than another ring round, jump straight to the exact crossJoin
+    # (measured r2: one straggler otherwise burns O(log extent) rounds;
+    # threshold 500M slim distance rows ~ 0.5M/task at 128 tasks — r4 raised
+    # it from 50M after the quadrant residue, 137 x 457k = 62M, just missed
+    # the switch and paid 2 extra barrier rounds).
+    results = [good]
+    persisted: list[DataFrame] = [right_mat, left_mat]
+    remaining = residue
+    ring, rounds = 16, 2
+    if n_rem * max(n_right, 1) <= 500_000_000:
+        rounds = max_proof_rounds
     try:
         while True:
             final = ring >= max_ring or rounds >= max_proof_rounds
+            ranked = ranked_for(remaining, ring, final)
             if final:
-                # final fallback: remaining is a tiny residue (corner points /
-                # globally-sparse neighborhoods) — a direct cross join beats
-                # exploding a quarter-million ring cells per row
-                cands = remaining.crossJoin(right_cells.drop("__cell")).withColumn(
-                    "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
-                )
-            else:
-                cands = _candidates(remaining, right_cells, cell_size, ring, lx, ly, rx, ry)
-            if min_dist is not None:
-                cands = cands.where(F.col("dist") >= min_dist)
-            ranked = cands.withColumn("knn_rank", F.row_number().over(w)).where(
-                F.col("knn_rank") <= k
-            )
-            if final:
-                results.append(ranked)
+                results.append(enrich(ranked))
                 break
-            ranked = ranked.persist()  # reused by proof, semi-join, and final union
+            ranked = ranked.persist()  # reused by proof, semi-join, and union
             persisted.append(ranked)
-            rcs = float(ring * cell_size)
-            # completeness proofs:
-            # (a) k-th neighbor strictly inside the guaranteed ring radius, or
-            # (b) the ring box covers the whole data bounds around this probe —
-            #     whatever was found (even < k rows) is ALL there is.
-            covered_all = (
-                (F.lit(bx1) - F.col(lx) <= rcs)
-                & (F.col(lx) - F.lit(bx0) <= rcs)
-                & (F.lit(by1) - F.col(ly) <= rcs)
-                & (F.col(ly) - F.lit(by0) <= rcs)
-            )
-            kth = ranked.groupBy(left_id).agg(
-                F.max("dist").alias("__kth"), F.count("*").alias("__n")
-            )
-            proven_dist = kth.where(
-                (F.col("__n") >= k) & (F.col("__kth") < rcs)
-            ).select(left_id)
-            proven_cov = remaining.where(covered_all).select(left_id)
-            complete_ids = proven_dist.unionByName(proven_cov).distinct()
-            results.append(ranked.join(F.broadcast(complete_ids), left_id, "left_semi"))
-            # eager persist: materializes the residue once per round (the
-            # plan stays shallow because parents are cached) and, unlike
-            # localCheckpoint, leaves a handle we can unpersist on exit
-            remaining = remaining.join(
-                F.broadcast(complete_ids), left_id, "left_anti"
-            ).persist()
+            proven = proven_for(remaining, ranked, ring)
+            results.append(enrich(ranked.join(proven, left_id, "left_semi")))
+            remaining = remaining.join(proven, left_id, "left_anti").persist()
             persisted.append(remaining)
             n_rem = remaining.count()
             if n_rem == 0:
                 break
-            # cost-based fallback switch: when the residue is small enough
-            # that residue x n_right distance rows are cheaper than another
-            # ring round (each round is a full job), jump straight to the
-            # exact crossJoin instead of escalating rings — a single interior
-            # probe with a provably-empty region otherwise burns O(log extent)
-            # rounds reaching bounds coverage (measured: 4 extra rounds,
-            # ~20 s, for ONE straggler at sf0.1)
-            if n_rem * max(n_right, 1) <= 50_000_000:
-                rounds = max_proof_rounds  # next iteration takes the final branch
+            if n_rem * max(n_right, 1) <= 500_000_000:
+                rounds = max_proof_rounds  # next iteration takes final branch
             else:
                 rounds += 1
-            ring *= 4  # aggressive escalation: proof rounds are the expensive unit
+            ring *= 4
         out = results[0]
         for r in results[1:]:
             out = out.unionByName(r)
-        # materialize before releasing the per-round caches the plan reads
-        # from — callers get a flat-lineage result and a long-lived session
-        # accumulates no storage blocks per kNN call (ADVICE.md round 2)
         return out.localCheckpoint(eager=True)
     finally:
-        for df in persisted:
+        for df in persisted + scratch:
             df.unpersist()
 
 
@@ -253,12 +355,13 @@ def quadrant_knn_join(
     w = Window.partitionBy(left_id, "quadrant").orderBy(
         F.col("dist").asc(), F.col(right_id).asc()
     )
-    results = []
-    persisted: list[DataFrame] = []
-    remaining = left
-    bounds = _data_bounds(right, rx, ry)
+    # one scan of the candidate side for bounds + cells + rare path — see
+    # knn_join
+    right_mat = right.persist()
+    bounds = _data_bounds(right_mat, rx, ry)
     if bounds is None:
-        empty = remaining.crossJoin(right.limit(0)).withColumn(
+        right_mat.unpersist()
+        empty = left.crossJoin(right.limit(0)).withColumn(
             "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
         )
         empty = empty.where(F.col("dist") >= min_dist).withColumn("quadrant", quadrant)
@@ -268,79 +371,168 @@ def quadrant_knn_join(
     bx0, bx1, by0, by1, n_right = bounds
     if cell_size is None:
         density = max(n_right, 1) / (extent * extent)
-        cell_size = max(min(8.0 * math.sqrt(1.0 / density), extent / 2), extent / 1024)
-    right_cells = _with_cells(right, cell_size, rx, ry).persist()
-    persisted.append(right_cells)
-    ring = 1
-    rounds = 0
+        # 4x mean spacing (was 8x in r3): a ring-1 box still holds ~150
+        # candidates at forest density, plenty for the per-quadrant distance
+        # proof, and the candidate join fans out 4x fewer rows
+        cell_size = max(min(4.0 * math.sqrt(1.0 / density), extent / 2), extent / 1024)
+    # slim pipeline + winner enrichment — see knn_join
+    left_mat = left.persist()
+    left_slim = left_mat.select(left_id, lx, ly)
+    right_slim = right_mat.select(right_id, rx, ry)
+    right_cells = _with_cells(right_slim, cell_size, rx, ry)
     max_ring = max(int(math.ceil(extent / cell_size)) + 1, 2)
     quads = ("NE", "SE", "NW", "SW")
+
+    scratch: list[DataFrame] = []
+
+    def best_for(rem: DataFrame, ring: int, final: bool) -> DataFrame:
+        if final:
+            # safety net only: with coverage proofs every probe is provable
+            # once the ring covers the data bounds (window path: the slim
+            # candidates are only computed once here)
+            cands = rem.crossJoin(right_slim).withColumn(
+                "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+            )
+            cands = cands.where(F.col("dist") >= min_dist).withColumn(
+                "quadrant", quadrant
+            )
+            return cands.withColumn("__rn", F.row_number().over(w)).where(
+                F.col("__rn") == 1
+            ).drop("__rn")
+        cands = _candidates(rem, right_cells, cell_size, ring, lx, ly, rx, ry)
+        cands = cands.where(F.col("dist") >= min_dist).withColumn("quadrant", quadrant)
+        # two-phase exact argmin per (probe, quadrant) instead of a window:
+        # min(dist) is a fixed-width HashAggregate with map-side partial
+        # combine, so the shuffle moves ~|rem|x4 group rows instead of every
+        # candidate row (profiled at sf0.1: the window sort-exchange of 1.7M
+        # candidates was 6.3 s of a 12 s call; a min-over-struct agg falls
+        # back to SortAggregate and is just as slow). The equality join back
+        # broadcasts the tiny minima, and the window ranks only the min-dist
+        # rows — the exact (dist asc, right_id asc) tie-break is preserved.
+        cands = cands.persist()  # read by both phases within one job
+        scratch.append(cands)
+        m = cands.groupBy(left_id, "quadrant").agg(F.min("dist").alias("__md"))
+        matched = (
+            cands.join(m, [left_id, "quadrant"])
+            .where(F.col("dist") == F.col("__md"))
+            # a USING join moves the key columns first — restore order
+            .select(left_id, lx, ly, right_id, rx, ry, "dist", "quadrant")
+        )
+        return matched.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        ).drop("__rn")
+
+    def proven_for(rem: DataFrame, best: DataFrame, ring: int) -> DataFrame:
+        rcs = float(ring * cell_size)
+        # per-(left, quadrant) distance proofs, pivoted to 4 flag columns
+        flags = best.groupBy(left_id).agg(
+            *[
+                F.max(
+                    F.when((F.col("quadrant") == q) & (F.col("dist") < rcs), 1).otherwise(0)
+                ).alias(f"__f_{q}")
+                for q in quads
+            ]
+        )
+        # quadrant-region coverage: region ∩ data bounds inside the ring box
+        x, y = F.col(lx), F.col(ly)
+        cov = {
+            "NE": (F.lit(bx1) - x <= rcs) & (F.lit(by1) - y <= rcs),
+            "SE": (F.lit(bx1) - x <= rcs) & (y - F.lit(by0) <= rcs),
+            "NW": (x - F.lit(bx0) <= rcs) & (F.lit(by1) - y <= rcs),
+            "SW": (x - F.lit(bx0) <= rcs) & (y - F.lit(by0) <= rcs),
+        }
+        # probe-proportional sets join without a broadcast hint — AQE decides
+        complete = rem.select(left_id, lx, ly).join(flags, left_id, "left")
+        for q in quads:
+            complete = complete.where(
+                (F.coalesce(F.col(f"__f_{q}"), F.lit(0)) == 1) | cov[q]
+            )
+        return complete.select(left_id)
+
+    def enrich(slim: DataFrame) -> DataFrame:
+        # winners -> full output rows — see knn_join
+        return (
+            slim.select(left_id, right_id, "dist", "quadrant")
+            .join(left_mat, left_id)
+            .join(right_mat, right_id)
+            .select(*left.columns, *right.columns, "dist", "quadrant")
+        )
+
+    # fused ring-1 + ring-4 prologue, one checkpoint job — see knn_join
+    pieces: list[DataFrame] = []
+    prologue_cached: list[DataFrame] = []
+    rem = left_slim
+    for ring in (r for r in (1, 4) if r < max_ring):
+        best = best_for(rem, ring, final=False).persist()
+        prologue_cached.append(best)
+        proven = proven_for(rem, best, ring)
+        pieces.append(best.join(proven, left_id, "left_semi"))
+        rem = rem.join(proven, left_id, "left_anti").persist()
+        prologue_cached.append(rem)
+    good_slim = pieces[0]
+    for p in pieces[1:]:
+        good_slim = good_slim.unionByName(p)
+    enriched = enrich(good_slim).withColumn("__residue", F.lit(-1))
+    res_piece = rem.select(left_id).join(left_mat, left_id)
+    for f in right.schema.fields:
+        res_piece = res_piece.withColumn(f.name, F.lit(None).cast(f.dataType))
+    res_piece = (
+        res_piece.select(*left.columns, *right.columns)
+        .withColumn("dist", F.lit(None).cast("double"))
+        .withColumn("quadrant", F.lit(None).cast("string"))
+        .withColumn("__residue", F.lit(1))
+    )
+    allp = enriched.unionByName(res_piece)
+    t0 = time.time()
+    chk = allp.localCheckpoint(eager=True)
+    _trace("quadrant prologue checkpoint", t0)
+    for df in prologue_cached + scratch:
+        df.unpersist()
+    scratch.clear()
+    good = chk.where(F.col("__residue") == -1).drop("__residue")
+    residue = chk.where(F.col("__residue") == 1).select(left_id, lx, ly)
+    t0 = time.time()
+    n_rem = residue.count()  # reads checkpointed blocks — not a recompute
+    _trace(f"quadrant residue count (n_rem={n_rem})", t0)
+    if n_rem == 0:
+        right_mat.unpersist()
+        left_mat.unpersist()
+        return good
+
+    # rare path: ring-16+ escalation on the residue, reusing the cached
+    # left/right sides (see knn_join)
+    results = [good]
+    persisted: list[DataFrame] = [right_mat, left_mat]
+    remaining = residue
+    ring, rounds = 16, 2
+    if n_rem * max(n_right, 1) <= 500_000_000:
+        rounds = max_proof_rounds
     try:
         while True:
             final = ring >= max_ring or rounds >= max_proof_rounds
+            best = best_for(remaining, ring, final)
             if final:
-                # safety net only: with coverage proofs every probe is provable
-                # once the ring covers the data bounds, which max_proof_rounds
-                # allows for any sane cell_size
-                cands = remaining.crossJoin(right_cells.drop("__cell")).withColumn(
-                    "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
-                )
-            else:
-                cands = _candidates(remaining, right_cells, cell_size, ring, lx, ly, rx, ry)
-            cands = cands.where(F.col("dist") >= min_dist).withColumn("quadrant", quadrant)
-            best = cands.withColumn("__rn", F.row_number().over(w)).where(
-                F.col("__rn") == 1
-            ).drop("__rn")
-            if final:
-                results.append(best)
+                results.append(enrich(best))
                 break
-            best = best.persist()  # reused by proof, semi-join, and final union
+            best = best.persist()  # reused by proof, semi-join, and union
             persisted.append(best)
-            rcs = float(ring * cell_size)
-            # per-(left, quadrant) distance proofs, pivoted to 4 flag columns
-            flags = best.groupBy(left_id).agg(
-                *[
-                    F.max(
-                        F.when((F.col("quadrant") == q) & (F.col("dist") < rcs), 1).otherwise(0)
-                    ).alias(f"__f_{q}")
-                    for q in quads
-                ]
-            )
-            # quadrant-region coverage: region ∩ data bounds inside the ring box
-            x, y = F.col(lx), F.col(ly)
-            cov = {
-                "NE": (F.lit(bx1) - x <= rcs) & (F.lit(by1) - y <= rcs),
-                "SE": (F.lit(bx1) - x <= rcs) & (y - F.lit(by0) <= rcs),
-                "NW": (x - F.lit(bx0) <= rcs) & (F.lit(by1) - y <= rcs),
-                "SW": (x - F.lit(bx0) <= rcs) & (y - F.lit(by0) <= rcs),
-            }
-            j = remaining.select(left_id, lx, ly).join(F.broadcast(flags), left_id, "left")
-            complete = j
-            for q in quads:
-                complete = complete.where(
-                    (F.coalesce(F.col(f"__f_{q}"), F.lit(0)) == 1) | cov[q]
-                )
-            proven = complete.select(left_id)
-            results.append(best.join(F.broadcast(proven), left_id, "left_semi"))
-            remaining = remaining.join(
-                F.broadcast(proven), left_id, "left_anti"
-            ).persist()
+            proven = proven_for(remaining, best, ring)
+            results.append(enrich(best.join(proven, left_id, "left_semi")))
+            remaining = remaining.join(proven, left_id, "left_anti").persist()
             persisted.append(remaining)
             n_rem = remaining.count()
             if n_rem == 0:
                 break
-            # cost-based fallback switch (see knn_join): tiny residues go
-            # straight to the exact crossJoin instead of ring-escalating
-            if n_rem * max(n_right, 1) <= 50_000_000:
+            if n_rem * max(n_right, 1) <= 500_000_000:
                 rounds = max_proof_rounds
             else:
                 rounds += 1
-            ring *= 4  # aggressive escalation: proof rounds are the expensive unit
+            ring *= 4
         out = results[0]
         for r in results[1:]:
             out = out.unionByName(r)
         # flat-lineage, leak-free result (ADVICE.md round 2) — see knn_join
         return out.localCheckpoint(eager=True)
     finally:
-        for df in persisted:
+        for df in persisted + scratch:
             df.unpersist()

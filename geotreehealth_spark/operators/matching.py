@@ -67,7 +67,10 @@ def containing_else_nearest(
     )
     matched = best.select(point_id, poly_id).withColumn("method", F.lit("contained"))
 
-    residue = points.join(F.broadcast(best.select(point_id)), point_id, "left_anti")
+    # no broadcast hint: matched ids are probe-proportional (≈ every matched
+    # point) — a forced broadcast is a driver OOM at 100-TB probe cardinality;
+    # AQE broadcasts when the set is actually small (VERDICT.md r3)
+    residue = points.join(best.select(point_id), point_id, "left_anti")
     nearest = knn_join(
         residue.select(point_id, px, py),
         polygons.select(poly_id, *center),

@@ -30,14 +30,28 @@ def plan_string(df) -> str:
     return df._jdf.queryExecution().explainString(jmode.fromString("formatted"))
 
 
-def audit(df) -> dict:
+def audit(df, execute: bool = False) -> dict:
+    # Spark 4.1.x formatted plans no longer carry "codegen id :" markers, and
+    # under AQE the codegen explain reports 0 subtrees until the plan is
+    # finalized by actual execution. execute=True therefore (a) runs the
+    # query's own QueryExecution JVM-side (RDD count — no rows to the driver;
+    # df.count() would NOT work, it builds a fresh QueryExecution) and then
+    # (b) counts WholeStageCodegen subtrees from the codegen explain mode.
+    if execute:
+        df._jdf.queryExecution().executedPlan().execute().count()
     p = plan_string(df)
+    spans = len(set(re.findall(r"codegen id : (\d+)", p)))
+    if execute and spans == 0:
+        jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        cg = df._jdf.queryExecution().explainString(jmode.fromString("codegen"))
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+        spans = int(m.group(1)) if m else 0
     return {
         "batch_eval_python": len(re.findall(r"BatchEvalPython", p)),
         "arrow_python": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", p)),
         "cartesian": len(re.findall(r"CartesianProduct", p)),
         "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", p)),
-        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", p))),
+        "codegen_spans": spans,
         "exchanges": len(re.findall(r"\bExchange\b", p)),
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]*Is", p)),
         "plan": p,
