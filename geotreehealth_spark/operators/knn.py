@@ -531,8 +531,11 @@ def quadrant_knn_join(
         out = results[0]
         for r in results[1:]:
             out = out.unionByName(r)
+        t0 = time.time()
+        out = out.localCheckpoint(eager=True)
+        _trace("quadrant rare-path final checkpoint", t0)
         # flat-lineage, leak-free result (ADVICE.md round 2) — see knn_join
-        return out.localCheckpoint(eager=True)
+        return out
     finally:
         for df in persisted + scratch:
             df.unpersist()
