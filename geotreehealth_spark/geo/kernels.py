@@ -430,7 +430,20 @@ def repair_ring(ring: np.ndarray) -> list[np.ndarray]:
                 per_edge[j].append((u, x))
                 found = True
     if not found:
-        return [np.vstack([pts, pts[:1]])]
+        # No proper crossing — but a REPEATED interior vertex is a
+        # figure-eight through a shared vertex (ADVICE r3: previously passed
+        # through unchanged as a self-cancelling zero-area ring, poisoning
+        # downstream area math). The stack walk below splits such loops too,
+        # so fall through whenever any vertex coordinate repeats.
+        seen: set[tuple[float, float]] = set()
+        repeated = False
+        for v in map(tuple, pts):
+            if v in seen:
+                repeated = True
+                break
+            seen.add(v)
+        if not repeated:
+            return [np.vstack([pts, pts[:1]])]
     # 2) augmented vertex sequence with crossing points inserted in order;
     #    the SAME coordinate tuple object is inserted on both edges, so the
     #    stack walk below matches crossings by exact equality

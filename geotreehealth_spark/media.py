@@ -84,6 +84,13 @@ def resolve_lidar(
     pid = tile_key * 1_000_000 + np.arange(n_points, dtype=np.int64)
     spanx = int(round((txmax - txmin) * 1000.0))
     spany = int(round((tymax - tymin) * 1000.0))
+    if spanx <= 0 or spany <= 0:
+        # fail loudly with the tile named instead of a bare integer-mod-zero
+        # crash deep inside mapInPandas (ADVICE r3)
+        raise ValueError(
+            f"degenerate lidar tile {media_ref!r}: extent "
+            f"({txmin}, {tymin})..({txmax}, {tymax}) spans < 1 mm on an axis"
+        )
     x = txmin + ((pid * 104729) % spanx) / 1000.0
     y = tymin + ((pid * 15485863) % spany) / 1000.0
     z = ((pid * 7919) % 35000) / 1000.0

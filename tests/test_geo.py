@@ -265,3 +265,35 @@ class TestRepairRing:
         from geotreehealth_spark.geo.kernels import repair_ring
 
         assert repair_ring(np.array([[0.0, 0.0], [1.0, 1.0]])) == []
+
+    def test_crossing_coincident_with_ring_vertex(self):
+        """ADVICE r3: a self-touch landing exactly ON a ring vertex (the
+        bowtie waist (1,1) appears twice as a vertex, so no PROPER edge
+        crossing exists) must still be repaired — the counter-wound lobe
+        vanishes exactly like the proper-crossing bowtie, instead of the
+        figure-eight passing through as a self-cancelling zero-area ring."""
+        from geotreehealth_spark.geo.kernels import repair_ring
+
+        bow_with_waist_vertex = np.array(
+            [[0, 0], [1, 1], [2, 2], [2, 0], [1, 1], [0, 2], [0, 0]], float
+        )
+        parts = repair_ring(bow_with_waist_vertex)
+        assert len(parts) == 1
+        assert polygon_area(parts[0]) == pytest.approx(1.0)
+        assert np.array_equal(parts[0][0], parts[0][-1])
+
+    def test_two_crossings_distinct_coordinates(self):
+        """Double-pinch ribbon: two proper crossings at distinct coordinates
+        must yield separately-closed lobes whose areas sum to the nonzero
+        fill, exercising the multi-crossing stack walk."""
+        from geotreehealth_spark.geo.kernels import repair_ring
+
+        ribbon = np.array(
+            [[0, 0], [6, 0.2], [6, 0], [4, 0.1], [2, 0.1], [0, 0.2], [0, 0]],
+            float,
+        )
+        parts = repair_ring(ribbon)
+        assert len(parts) >= 1
+        for p in parts:
+            assert np.array_equal(p[0], p[-1])
+        assert sum(abs(polygon_area(p)) for p in parts) > 0
