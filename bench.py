@@ -53,6 +53,9 @@ HEADLINE = [
     "rp_lsh_pairs",
     "text_stats",
     "lang_id",
+    "image_features",
+    "audio_features",
+    "frame_features",
 ]
 
 
