@@ -783,6 +783,25 @@ def q_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features.frame_sample_features(refs)
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the word-Jaccard near-dup graph: (doc_id,
+    component) with component = min doc id reachable — the canonical-keeper
+    convention of exact_dedup. Min-label propagation (operators/components.py)
+    against a DuckDB WITH RECURSIVE reachability oracle."""
+    from geotreehealth_spark.operators import components
+    from geotreehealth_spark.text import dedup as tdedup
+
+    docs = _documents(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    max_df = (85 * docs.count()) // 100
+    pairs = tdedup.jaccard_pairs(docs, threshold=0.5, max_df=max_df).select(
+        "id_a", "id_b"
+    )
+    out = components.connected_components(pairs, "id_a", "id_b")
+    return out.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -846,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "frame_features": q_frame_features,
+        "dup_components": q_dup_components,
     }
 
 
@@ -1445,6 +1465,47 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, doc_id % 997 AS k FROM documents
                   WHERE doc_id % 4 = 0)
             CROSS JOIN range(0, 4) r
+        """,
+        # transitive closure of the (shared-dialect) jaccard pair graph:
+        # recursive reachability, then MIN over reached labels per node
+        "dup_components": r"""
+            WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            toks0 AS (
+                SELECT DISTINCT doc_id, t.tok AS token
+                FROM docs, UNNEST(string_split_regex(lower(text), '\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            toks AS (
+                SELECT * FROM toks0 WHERE token NOT IN (
+                    SELECT token FROM toks0 GROUP BY token
+                    HAVING COUNT(*) > (85 * (SELECT COUNT(*) FROM docs)) // 100
+                )
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE i / (sa.sz + sb.sz - i) >= 0.5e0
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(node, comp) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS doc_id, MIN(comp) AS component
+            FROM reach GROUP BY node
         """,
     }
 

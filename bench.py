@@ -56,6 +56,9 @@ HEADLINE = [
     "image_features",
     "audio_features",
     "frame_features",
+    # dup_components is oracle-gated but excluded from the headline set: a
+    # driver-looped fixpoint pays per-round job latency that measures host
+    # scheduling, not engine throughput, at bench scale
 ]
 
 

@@ -1,0 +1,99 @@
+"""Connected components over an edge list — the dedup-pipeline closer.
+
+Near-duplicate detection (word/n-gram Jaccard, MinHash-LSH, SimHash — see
+text/dedup.py) yields PAIRS; production dedup needs the transitive closure:
+groups of mutually-reachable documents and one canonical keeper per group.
+This is graph connectivity, which the reference (and Spark SQL) lacks as a
+built-in — implemented here as min-label propagation, the standard
+map-reduce-friendly formulation:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint. Each round is one shuffle equi-join on node id plus one
+hash aggregation (map-side combine) over slim (node, label) rows, with a
+localCheckpoint per round so lineage stays flat across iterations. Rounds
+needed = graph diameter; near-dup graphs are clique-ish (diameter 2-4), so
+the loop is short — and each round's cost is O(|E|) shuffled longs, which
+scales to billions of edges. The component id IS the canonical keeper
+(min doc id reachable), matching exact_dedup's keeper_id convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, comp) for every node, comp = MIN node id in its component.
+
+    edges: undirected pair list (each pair listed once is enough).
+    nodes: optional (single-column) node universe; nodes without edges become
+           singleton components. Defaults to the edge endpoints.
+    Raises RuntimeError if the propagation has not converged after
+    ``max_iters`` rounds (diameter > max_iters — never for dedup graphs).
+    """
+    # materialize the symmetric edge list ONCE — every propagation round
+    # re-reads it, and the upstream pair generation (e.g. the full Jaccard
+    # inverted-index join) must not re-execute per round (measured 44 s -> a
+    # few s at sf0.1 for the dup_components query)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    if nodes is None:
+        node_df = sym.select(F.col("a").alias("node")).distinct()
+    else:
+        node_df = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    labels = node_df.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # (a) best neighbor label
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("__nc")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("__nc").alias("__nmin"))
+            .select(F.col("a").alias("node"), "__nmin")
+        )
+        # (b) pointer jumping (path halving): also adopt the CURRENT label of
+        # my label's node — collapses chain-shaped components in O(log
+        # diameter) rounds instead of O(diameter), and rounds (not rows) are
+        # what a driver-looped fixpoint pays for
+        ptr = labels.select(
+            F.col("node").alias("comp"), F.col("comp").alias("__pc")
+        )
+        new = (
+            labels.join(nbr, "node", "left")
+            .join(ptr, "comp", "left")
+            .select(
+                "node",
+                F.col("comp").alias("__old"),
+                F.least(
+                    F.col("comp"),
+                    F.coalesce(F.col("__nmin"), F.col("comp")),
+                    F.coalesce(F.col("__pc"), F.col("comp")),
+                ).alias("comp"),
+            )
+            .withColumn("__changed", (F.col("comp") != F.col("__old")).cast("int"))
+            .select("node", "comp", "__changed")
+        )
+        # one checkpoint per round keeps lineage flat; the convergence probe
+        # below reads the checkpointed blocks (an in-row flag, not a join)
+        new = new.localCheckpoint(eager=True)
+        changed = new.agg(F.sum("__changed")).first()[0]
+        labels = new.drop("__changed")
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(graph diameter exceeds max_iters)"
+    )
