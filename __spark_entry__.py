@@ -500,6 +500,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, probes, k=10, dim=64, n_tables=8, n_planes=6)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file candidates + exact cosine re-rank) — the
+    brief's second bucketed scale path beside LSH; deterministic coarse
+    quantizer so the gate is exact (similarity.ivf_centroids)."""
+    from geotreehealth_spark.text import similarity
+
+    synth.register_tpch_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.ann_ivf_topk(emb, probes, k=10, dim=64, n_lists=16, nprobe=4)
+
+
 NMS_SUBSET_SQL = (
     "SELECT crown_id, score, xmin, ymin, xmax, ymax FROM crowns WHERE crown_key % 5 = 0"
 )
@@ -856,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "rp_lsh_pairs": q_rp_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "nms_greedy": q_nms_greedy,
         "weighted_nms": q_weighted_nms,
         "zonal_raster": q_zonal_raster,
@@ -1433,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle(),
         "rp_lsh_pairs": _rp_lsh_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         # constant-media oracles regenerate media.resolve_* closed forms
         # (key = doc_id % 997; see _const_media_refs)
         "image_features": """
@@ -1642,6 +1656,13 @@ def _rp_lsh_oracle() -> str:
 
 def _ann_lsh_oracle() -> str:
     from geotreehealth_spark.text.similarity import ann_lsh_topk_oracle_sql
+
+def _ann_ivf_oracle() -> str:
+    from geotreehealth_spark.text.similarity import ann_ivf_topk_oracle_sql
+
+    return ann_ivf_topk_oracle_sql(probe_pred="vec_id % 50 = 0", k=10, dim=64,
+                                   n_lists=16, nprobe=4)
+
 
     return ann_lsh_topk_oracle_sql(probe_pred="vec_id % 50 = 0", k=10, dim=64, n_tables=8, n_planes=6)
 

@@ -50,6 +50,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "rp_lsh_pairs",
     "text_stats",
     "lang_id",

@@ -188,6 +188,84 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroids(dim: int, n_lists: int) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids, seed 11.
+
+    Production IVF trains these with k-means (MLlib KMeans slots into the
+    same seam); a fixed seeded draw is used here so the Spark plan and the
+    SQL oracle carry IDENTICAL literals — the gate verifies the IVF
+    *plumbing* (assign, probe, re-rank), which is quantizer-agnostic."""
+    rng = np.random.default_rng(11)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _ivf_listed(
+    df: DataFrame,
+    cents: np.ndarray,
+    n_keep: int,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    vec_alias: str,
+) -> DataFrame:
+    """(id_alias, vec_alias, list_id) — the n_keep best inverted lists per
+    row, ranked by (centroid dot DESC, list index ASC). Pure Catalyst: the
+    per-row ranking is sort_array over (neg-score, idx) structs, NO window
+    shuffle — coarse assignment of the big side stays map-side."""
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    entries = F.array(
+        *[
+            F.struct(
+                (-_dot(vd, F.array(*[F.lit(float(x)) for x in cents[j]]))).alias("ns"),
+                F.lit(j).alias("list_id"),
+            )
+            for j in range(cents.shape[0])
+        ]
+    )
+    top = F.slice(F.sort_array(entries), 1, n_keep)
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.explode(top).alias("__e"),
+    ).select(id_alias, vec_alias, F.col("__e.list_id").alias("list_id"))
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: inverted-file candidate generation + exact cosine re-rank.
+
+    The brief's second scale path beside LSH: every vector is assigned to its
+    best coarse list map-side (no shuffle — sort_array argmax over centroid
+    literals), probes fan out to their nprobe best lists, and the candidate
+    join is a plain equi-join on list_id — work is the probed lists'
+    occupancy, not |emb| x |probes|. Exact top-k OF THE CANDIDATE SET (ANN
+    semantics), identical output shape to ann_lsh_topk."""
+    cents = ivf_centroids(dim, n_lists)
+    e = _ivf_listed(embeddings, cents, 1, id_col, vec_col, "neighbor_id", "__v")
+    p = _ivf_listed(probes, cents, nprobe, id_col, vec_col, "probe_id", "__pv")
+    cand = e.join(F.broadcast(p), "list_id").where(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("sim", cosine_expr(F.col("__pv"), F.col("__v")))
+        .select("probe_id", "neighbor_id", "sim")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle builders (same plane constants, same summation order)
 # ---------------------------------------------------------------------------
@@ -240,6 +318,70 @@ SELECT id_a, id_b, sim FROM (
     JOIN embeddings ea ON ea.vec_id = id_a
     JOIN embeddings eb ON eb.vec_id = id_b
 ) WHERE sim >= {min_sim}
+"""
+
+
+def _ivf_scores_duck_cte(src_sql: str, cents: np.ndarray, name: str) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {j} AS list_id, ({_dot_duck('embedding', cents[j])}) AS score"
+        f" FROM __srcivf_{name}__"
+        for j in range(cents.shape[0])
+    )
+    return f"__srcivf_{name}__ AS ({src_sql}),\n{name} AS ({selects})"
+
+
+def ann_ivf_topk_oracle_sql(
+    probe_pred: str = "vec_id % 50 = 0",
+    k: int = 10,
+    dim: int = 64,
+    n_lists: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """Same centroid literals, same left-associated dot order, same
+    (score DESC, list_id ASC) assignment tie-break as ann_ivf_topk."""
+    cents = ivf_centroids(dim, n_lists)
+    e_cte = _ivf_scores_duck_cte(
+        "SELECT vec_id, embedding FROM embeddings", cents, "escore"
+    )
+    p_cte = _ivf_scores_duck_cte(
+        f"SELECT vec_id, embedding FROM embeddings WHERE {probe_pred}", cents, "pscore"
+    )
+    return f"""
+WITH {e_cte},
+{p_cte},
+assign AS (
+    SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, list_id) AS rn
+        FROM escore
+    ) WHERE rn = 1
+),
+plists AS (
+    SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, list_id) AS rn
+        FROM pscore
+    ) WHERE rn <= {nprobe}
+),
+cand AS (
+    SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id
+    FROM plists p JOIN assign e USING (list_id)
+    WHERE e.vec_id <> p.vec_id
+)
+SELECT probe_id, neighbor_id, sim, rank FROM (
+    SELECT probe_id, neighbor_id, sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY sim DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM (
+        SELECT probe_id, neighbor_id,
+               list_cosine_similarity(CAST(ep.embedding AS DOUBLE[]),
+                                      CAST(en.embedding AS DOUBLE[])) AS sim
+        FROM cand
+        JOIN embeddings ep ON ep.vec_id = probe_id
+        JOIN embeddings en ON en.vec_id = neighbor_id
+    )
+) WHERE rank <= {k}
 """
 
 

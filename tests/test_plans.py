@@ -20,7 +20,7 @@ PURE_JVM = [
     "median_pick", "zonal_lidar", "zonal_percentiles", "overlap_pairs",
     "band_ops", "topk_orders", "dedup_exact", "fingerprint", "text_stats",
     "token_count", "lang_id", "jaccard_pairs", "ngram_jaccard_pairs",
-    "minhash_lsh_pairs", "simhash_pairs", "stratified_split",
+    "minhash_lsh_pairs", "simhash_pairs", "stratified_split", "ann_ivf_topk",
     "group_first", "distinct_count", "drop_smallest", "pair_distances",
 ]
 # Arrow-vectorized queries: pandas UDF / mapInPandas allowed, row-Python not.
