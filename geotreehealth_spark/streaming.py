@@ -62,6 +62,55 @@ def windowed_doc_counts(
     )
 
 
+def running_source_stats(
+    docs: DataFrame,
+    key_col: str = "source",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the brief's tool
+    for semantics the built-in streaming aggregates can't express): per
+    source, a RUNNING (n_docs, total_chars) total maintained in explicit
+    group state across micro-batches AND restarts (state lives in the
+    checkpoint). Emits one updated row per key per micro-batch as an
+    append-mode operator (the exactly-once file sink works and checkpoint
+    recovery is supported; the memory sink cannot recover) — the incremental
+    corpus-accounting feed a 100-TB ingest pipeline tails; readers take the
+    max-n_docs row per key for current totals.
+
+    Built-in windowed aggregation can't express "running total since
+    genesis, one emission per batch"; update-mode groupBy.count re-emits
+    totals but cannot attach custom per-key logic (e.g. the char sums here,
+    or any future quota/alarm logic) — hence the explicit-state form.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, n_docs long, total_chars long"
+    state_schema = "n long, chars long"
+
+    def update(key, pdfs, state: GroupState):
+        n, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            chars += int(pdf[chars_col].sum())
+        state.update((n, chars))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_docs": [n], "total_chars": [chars]}
+        )
+
+    return (
+        docs.select(key_col, chars_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     out: DataFrame,
     checkpoint: str,

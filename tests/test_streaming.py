@@ -68,3 +68,39 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert got[("2026-01-01 00:00:00", "en")] == 2
     assert got[("2026-01-01 00:00:00", "de")] == 1
     assert got[("2026-01-01 00:10:00", "en")] == 1
+
+
+def test_running_source_stats_state_across_restart(spark, tmp_path):
+    """applyInPandasWithState: running per-source totals must accumulate
+    across micro-batches AND survive a restart from the same checkpoint."""
+    src = str(tmp_path / "in3")
+    ckpt = str(tmp_path / "ckpt3")
+    schema = "doc_id string, text string, source string, n_chars long"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "out3")
+
+    def totals():
+        rows = spark.read.parquet(sink).collect()
+        best = {}
+        for r in rows:  # totals are monotone; latest emission = max n_docs
+            cur = best.get(r.source)
+            if cur is None or r.n_docs > cur[0]:
+                best[r.source] = (r.n_docs, r.total_chars)
+        return best
+
+    write([("a", "x", "s0", 10), ("b", "y", "s0", 20), ("c", "z", "s1", 5)])
+    out = streaming.running_source_stats(streaming.stream_docs(spark, src, schema))
+    streaming.run_available_now(out, ckpt, sink_path=sink)
+    assert totals() == {"s0": (2, 30), "s1": (1, 5)}
+
+    # restart from the SAME checkpoint with new arrivals: totals continue
+    # from recovered state, not from zero
+    write([("d", "w", "s0", 7), ("e", "v", "s2", 3)])
+    out2 = streaming.running_source_stats(streaming.stream_docs(spark, src, schema))
+    streaming.run_available_now(out2, ckpt, sink_path=sink)
+    got2 = totals()
+    assert got2["s0"] == (3, 37)
+    assert got2["s2"] == (1, 3)
