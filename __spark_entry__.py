@@ -1657,14 +1657,14 @@ def _rp_lsh_oracle() -> str:
 def _ann_lsh_oracle() -> str:
     from geotreehealth_spark.text.similarity import ann_lsh_topk_oracle_sql
 
+    return ann_lsh_topk_oracle_sql(probe_pred="vec_id % 50 = 0", k=10, dim=64, n_tables=8, n_planes=6)
+
+
 def _ann_ivf_oracle() -> str:
     from geotreehealth_spark.text.similarity import ann_ivf_topk_oracle_sql
 
     return ann_ivf_topk_oracle_sql(probe_pred="vec_id % 50 = 0", k=10, dim=64,
                                    n_lists=16, nprobe=4)
-
-
-    return ann_lsh_topk_oracle_sql(probe_pred="vec_id % 50 = 0", k=10, dim=64, n_tables=8, n_planes=6)
 
 
 def _lang_id_oracle() -> str:

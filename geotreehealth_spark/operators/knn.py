@@ -92,6 +92,15 @@ def _candidates(
     )
 
 
+def _cached(df: DataFrame) -> tuple[DataFrame, bool]:
+    """persist df unless the CALLER already persisted it — unpersisting a
+    caller's cache on exit would silently drop their working set. Returns
+    (df, owned): owned=True means this call should unpersist it."""
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        return df, False
+    return df.persist(), True
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -122,10 +131,11 @@ def knn_join(
     # the cell-keyed join input (a cheap map over the cache), and the rare
     # escalation path — profiling at sf0.1 showed each re-scan of a
     # synthesized right side costs ~2.5 s, dominating kNN latency.
-    right_mat = right.persist()
+    right_mat, right_owned = _cached(right)
     bounds = _data_bounds(right_mat, rx, ry)
     if bounds is None:
-        right_mat.unpersist()
+        if right_owned:
+            right_mat.unpersist()
         # empty candidate side: the crossJoin plan yields zero rows with the
         # full output schema (left cols + right cols + dist + knn_rank)
         empty = left.crossJoin(right.limit(0)).withColumn(
@@ -145,7 +155,7 @@ def knn_join(
     # (id, x, y, dist) — full rows are re-attached to the ~|left|*k winners by
     # one pair of joins inside the same job (r4: the r3 pipeline dragged all
     # ~25 left+right columns through every exchange and persist).
-    left_mat = left.persist()
+    left_mat, left_owned = _cached(left)
     left_slim = left_mat.select(left_id, lx, ly)
     right_slim = right_mat.select(right_id, rx, ry)
     right_cells = _with_cells(right_slim, cell_size, rx, ry)
@@ -265,8 +275,10 @@ def knn_join(
     residue = chk.where(F.col("__residue") == 1).select(left_id, lx, ly)
     n_rem = residue.count()  # reads checkpointed blocks — not a recompute
     if n_rem == 0:
-        right_mat.unpersist()
-        left_mat.unpersist()
+        if right_owned:
+            right_mat.unpersist()
+        if left_owned:
+            left_mat.unpersist()
         return good
 
     # --- rare path: ring-16+ escalation loop on the tagged residue ---------
@@ -278,7 +290,9 @@ def knn_join(
     # it from 50M after the quadrant residue, 137 x 457k = 62M, just missed
     # the switch and paid 2 extra barrier rounds).
     results = [good]
-    persisted: list[DataFrame] = [right_mat, left_mat]
+    persisted: list[DataFrame] = (
+        ([right_mat] if right_owned else []) + ([left_mat] if left_owned else [])
+    )
     remaining = residue
     ring, rounds = 16, 2
     if n_rem * max(n_right, 1) <= 500_000_000:
@@ -357,10 +371,11 @@ def quadrant_knn_join(
     )
     # one scan of the candidate side for bounds + cells + rare path — see
     # knn_join
-    right_mat = right.persist()
+    right_mat, right_owned = _cached(right)
     bounds = _data_bounds(right_mat, rx, ry)
     if bounds is None:
-        right_mat.unpersist()
+        if right_owned:
+            right_mat.unpersist()
         empty = left.crossJoin(right.limit(0)).withColumn(
             "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
         )
@@ -376,7 +391,7 @@ def quadrant_knn_join(
         # proof, and the candidate join fans out 4x fewer rows
         cell_size = max(min(4.0 * math.sqrt(1.0 / density), extent / 2), extent / 1024)
     # slim pipeline + winner enrichment — see knn_join
-    left_mat = left.persist()
+    left_mat, left_owned = _cached(left)
     left_slim = left_mat.select(left_id, lx, ly)
     right_slim = right_mat.select(right_id, rx, ry)
     right_cells = _with_cells(right_slim, cell_size, rx, ry)
@@ -495,14 +510,18 @@ def quadrant_knn_join(
     n_rem = residue.count()  # reads checkpointed blocks — not a recompute
     _trace(f"quadrant residue count (n_rem={n_rem})", t0)
     if n_rem == 0:
-        right_mat.unpersist()
-        left_mat.unpersist()
+        if right_owned:
+            right_mat.unpersist()
+        if left_owned:
+            left_mat.unpersist()
         return good
 
     # rare path: ring-16+ escalation on the residue, reusing the cached
     # left/right sides (see knn_join)
     results = [good]
-    persisted: list[DataFrame] = [right_mat, left_mat]
+    persisted: list[DataFrame] = (
+        ([right_mat] if right_owned else []) + ([left_mat] if left_owned else [])
+    )
     remaining = residue
     ring, rounds = 16, 2
     if n_rem * max(n_right, 1) <= 500_000_000:

@@ -53,6 +53,11 @@ def main() -> int:
         if name not in oracles:
             print(f"{name:28s} rows={len(sp):8d} (rows-only, no oracle) {t_spark:6.1f}s")
             continue
+        # a None/empty oracle (e.g. a mangled builder returning implicitly)
+        # would otherwise surface as an opaque DuckDB internal error
+        assert isinstance(oracles[name], str) and oracles[name].strip(), (
+            f"oracle_sql()[{name!r}] is not a non-empty SQL string"
+        )
         t0 = time.time()
         du = con.sql(oracles[name]).df()
         t_duck = time.time() - t0
