@@ -747,10 +747,10 @@ def q_docs_decode_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _const_media_refs(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
     """documents subset → (doc_id string, media_ref '<prefix>key') with
     key = doc_id % 997, SQL-derivable so the constant-media oracles can
-    regenerate the refs (VERDICT r3 missing 1)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
-        F.col("doc_id") % 4 == 0
-    )
+    regenerate the refs (VERDICT r3 missing 1). Reads through _documents()
+    (the repartitioned view) — the raw single-row-group fixture parquet would
+    pin the whole narrow decode chain to ONE task."""
+    docs = _documents(spark, sf_dir).where(F.col("doc_id") % 4 == 0)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(F.lit(prefix), (F.col("doc_id") % 997).cast("string")).alias(
@@ -1343,7 +1343,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_id, substr(lt, i, 4) AS shingle
                 FROM (
                     SELECT doc_id, lower(text) AS lt,
-                           unnest(generate_series(1, LENGTH(text) - 3)) AS i
+                           -- bound by the LOWERCASED length: for codepoints
+                           -- whose lowercase expands (e.g. U+0130),
+                           -- LENGTH(lt) != LENGTH(text) and the engine
+                           -- shingles lower(text)
+                           unnest(generate_series(1, LENGTH(lower(text)) - 3)) AS i
                     FROM docs
                 )
             ),

@@ -243,34 +243,46 @@ def knn_join(
     pieces: list[DataFrame] = []
     prologue_cached: list[DataFrame] = []
     rem = left_slim
-    for ring in (r for r in (1, 4) if r < max_ring):
-        ranked = ranked_for(rem, ring, final=False).persist()
-        prologue_cached.append(ranked)
-        proven = proven_for(rem, ranked, ring)
-        pieces.append(ranked.join(proven, left_id, "left_semi"))
-        rem = rem.join(proven, left_id, "left_anti").persist()
-        prologue_cached.append(rem)
-    good_slim = pieces[0]
-    for p in pieces[1:]:
-        good_slim = good_slim.unionByName(p)
-    enriched = enrich(good_slim).withColumn("__residue", F.lit(-1))
-    res_piece = rem.select(left_id).join(left_mat, left_id)
-    for f in right.schema.fields:
-        res_piece = res_piece.withColumn(f.name, F.lit(None).cast(f.dataType))
-    res_piece = (
-        res_piece.select(*left.columns, *right.columns)
-        .withColumn("dist", F.lit(None).cast("double"))
-        .withColumn("knn_rank", F.lit(-1))
-        .withColumn("__residue", F.lit(1))
-    )
-    allp = enriched.unionByName(res_piece)
-    # THE one job barrier for the common case; also the flat-lineage,
-    # leak-free result handle (ADVICE.md round 2). Long-lived sessions making
-    # MANY kNN calls can free the retained blocks with result.rdd.unpersist().
-    chk = allp.localCheckpoint(eager=True)
-    for df in prologue_cached + scratch:
-        df.unpersist()
-    scratch.clear()
+    try:
+        for ring in (r for r in (1, 4) if r < max_ring):
+            ranked = ranked_for(rem, ring, final=False).persist()
+            prologue_cached.append(ranked)
+            proven = proven_for(rem, ranked, ring)
+            pieces.append(ranked.join(proven, left_id, "left_semi"))
+            rem = rem.join(proven, left_id, "left_anti").persist()
+            prologue_cached.append(rem)
+        good_slim = pieces[0]
+        for p in pieces[1:]:
+            good_slim = good_slim.unionByName(p)
+        enriched = enrich(good_slim).withColumn("__residue", F.lit(-1))
+        res_piece = rem.select(left_id).join(left_mat, left_id)
+        for f in right.schema.fields:
+            res_piece = res_piece.withColumn(f.name, F.lit(None).cast(f.dataType))
+        res_piece = (
+            res_piece.select(*left.columns, *right.columns)
+            .withColumn("dist", F.lit(None).cast("double"))
+            .withColumn("knn_rank", F.lit(-1))
+            .withColumn("__residue", F.lit(1))
+        )
+        allp = enriched.unionByName(res_piece)
+        # THE one job barrier for the common case; also the flat-lineage
+        # result handle. The checkpointed blocks themselves are NOT
+        # releasable through the DataFrame API (ADVICE r3) — long-lived
+        # sessions clear them via sparkContext getPersistentRDDs + unpersist,
+        # as bench.py's release_caches does between queries.
+        chk = allp.localCheckpoint(eager=True)
+    except BaseException:
+        # release the input caches too — a failed call must not leak the
+        # full cached candidate table into a long-lived session
+        if right_owned:
+            right_mat.unpersist()
+        if left_owned:
+            left_mat.unpersist()
+        raise
+    finally:
+        for df in prologue_cached + scratch:
+            df.unpersist()
+        scratch.clear()
     good = chk.where(F.col("__residue") == -1).drop("__residue")
     residue = chk.where(F.col("__residue") == 1).select(left_id, lx, ly)
     n_rem = residue.count()  # reads checkpointed blocks — not a recompute
@@ -477,33 +489,41 @@ def quadrant_knn_join(
     pieces: list[DataFrame] = []
     prologue_cached: list[DataFrame] = []
     rem = left_slim
-    for ring in (r for r in (1, 4) if r < max_ring):
-        best = best_for(rem, ring, final=False).persist()
-        prologue_cached.append(best)
-        proven = proven_for(rem, best, ring)
-        pieces.append(best.join(proven, left_id, "left_semi"))
-        rem = rem.join(proven, left_id, "left_anti").persist()
-        prologue_cached.append(rem)
-    good_slim = pieces[0]
-    for p in pieces[1:]:
-        good_slim = good_slim.unionByName(p)
-    enriched = enrich(good_slim).withColumn("__residue", F.lit(-1))
-    res_piece = rem.select(left_id).join(left_mat, left_id)
-    for f in right.schema.fields:
-        res_piece = res_piece.withColumn(f.name, F.lit(None).cast(f.dataType))
-    res_piece = (
-        res_piece.select(*left.columns, *right.columns)
-        .withColumn("dist", F.lit(None).cast("double"))
-        .withColumn("quadrant", F.lit(None).cast("string"))
-        .withColumn("__residue", F.lit(1))
-    )
-    allp = enriched.unionByName(res_piece)
-    t0 = time.time()
-    chk = allp.localCheckpoint(eager=True)
-    _trace("quadrant prologue checkpoint", t0)
-    for df in prologue_cached + scratch:
-        df.unpersist()
-    scratch.clear()
+    try:
+        for ring in (r for r in (1, 4) if r < max_ring):
+            best = best_for(rem, ring, final=False).persist()
+            prologue_cached.append(best)
+            proven = proven_for(rem, best, ring)
+            pieces.append(best.join(proven, left_id, "left_semi"))
+            rem = rem.join(proven, left_id, "left_anti").persist()
+            prologue_cached.append(rem)
+        good_slim = pieces[0]
+        for p in pieces[1:]:
+            good_slim = good_slim.unionByName(p)
+        enriched = enrich(good_slim).withColumn("__residue", F.lit(-1))
+        res_piece = rem.select(left_id).join(left_mat, left_id)
+        for f in right.schema.fields:
+            res_piece = res_piece.withColumn(f.name, F.lit(None).cast(f.dataType))
+        res_piece = (
+            res_piece.select(*left.columns, *right.columns)
+            .withColumn("dist", F.lit(None).cast("double"))
+            .withColumn("quadrant", F.lit(None).cast("string"))
+            .withColumn("__residue", F.lit(1))
+        )
+        allp = enriched.unionByName(res_piece)
+        t0 = time.time()
+        chk = allp.localCheckpoint(eager=True)
+        _trace("quadrant prologue checkpoint", t0)
+    except BaseException:
+        if right_owned:
+            right_mat.unpersist()
+        if left_owned:
+            left_mat.unpersist()
+        raise
+    finally:
+        for df in prologue_cached + scratch:
+            df.unpersist()
+        scratch.clear()
     good = chk.where(F.col("__residue") == -1).drop("__residue")
     residue = chk.where(F.col("__residue") == 1).select(left_id, lx, ly)
     t0 = time.time()
