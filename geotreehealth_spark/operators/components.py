@@ -24,6 +24,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _checkpoint_tracked(df: DataFrame, sc) -> tuple[DataFrame, list]:
+    """localCheckpoint(eager) + the java RDD handles its blocks live in.
+
+    The DataFrame API cannot release localCheckpoint blocks (ADVICE r3), but
+    the sparkContext-level persistent-RDD registry can: diffing the registry
+    around the checkpoint captures exactly the RDDs it created, so the loop
+    below can unpersist round r-1 once round r is materialized instead of
+    leaking O(rounds x |V|) blocks into a long-lived session. Assumes a
+    single-threaded driver (concurrent checkpoints would land in the diff).
+    """
+    reg = sc._jsc.getPersistentRDDs()
+    before = set(reg.keys())
+    out = df.localCheckpoint(eager=True)
+    reg = sc._jsc.getPersistentRDDs()
+    created = [reg[i] for i in reg.keys() if i not in before]
+    return out, created
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -43,16 +61,20 @@ def connected_components(
     # re-reads it, and the upstream pair generation (e.g. the full Jaccard
     # inverted-index join) must not re-execute per round (measured 44 s -> a
     # few s at sf0.1 for the dup_components query)
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=True)
+    sc = edges.sparkSession.sparkContext
+    sym, sym_blocks = _checkpoint_tracked(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        ),
+        sc,
     )
     if nodes is None:
         node_df = sym.select(F.col("a").alias("node")).distinct()
     else:
         node_df = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
-    labels = node_df.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    labels, prev_blocks = _checkpoint_tracked(
+        node_df.withColumn("comp", F.col("node")), sc
+    )
     for _ in range(max_iters):
         # (a) best neighbor label
         nbr = (
@@ -87,12 +109,25 @@ def connected_components(
             .select("node", "comp", "__changed")
         )
         # one checkpoint per round keeps lineage flat; the convergence probe
-        # below reads the checkpointed blocks (an in-row flag, not a join)
-        new = new.localCheckpoint(eager=True)
+        # below reads the checkpointed blocks (an in-row flag, not a join).
+        # Round r-1's blocks are released as soon as round r is materialized
+        # (eager=True truncates the dependency), so a long-lived session
+        # holds at most TWO rounds of (node, comp) blocks plus the edge
+        # list, not O(rounds) of them (ADVICE r4).
+        new, new_blocks = _checkpoint_tracked(new, sc)
         changed = new.agg(F.sum("__changed")).first()[0]
+        for r in prev_blocks:
+            r.unpersist()
+        prev_blocks = new_blocks
         labels = new.drop("__changed")
         if not changed:
+            # the returned handle reads new_blocks — keep those; the edge
+            # list is no longer reachable from it and can go now
+            for r in sym_blocks:
+                r.unpersist()
             return labels
+    for r in sym_blocks + prev_blocks:
+        r.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         "(graph diameter exceeds max_iters)"

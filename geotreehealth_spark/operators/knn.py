@@ -113,10 +113,17 @@ def knn_join(
     extent: float = 1000.0,
     min_dist: float | None = None,
     max_proof_rounds: int = 4,
+    prologue_rings: tuple[int, ...] = (1, 4),
 ) -> DataFrame:
     """Exact k nearest `right` rows per `left` row; ties broken by right_id.
 
     Output: all left columns + right columns + `dist` + `knn_rank` (1..k).
+    CONTRACT: ``left_id`` / ``right_id`` must be non-null and unique per
+    side — winners are re-attached to their full rows via equi-joins on
+    these ids (enrich()), so a NULL id silently drops its row and a
+    duplicated id multiplies its matches. (The r3 path carried full rows
+    through the ranking and would have surfaced such rows; the slim-id
+    rewrite trades that visibility for the narrow-shuffle plan.)
     ``min_dist``: drop candidates strictly closer than this (reference's
     remove_too_close, batch_sam.py:430-432) before ranking.
     ``max_proof_rounds``: ring-proof rounds before the residue goes to the
@@ -244,7 +251,7 @@ def knn_join(
     prologue_cached: list[DataFrame] = []
     rem = left_slim
     try:
-        for ring in (r for r in (1, 4) if r < max_ring):
+        for ring in (r for r in prologue_rings if r < max_ring):
             ranked = ranked_for(rem, ring, final=False).persist()
             prologue_cached.append(ranked)
             proven = proven_for(rem, ranked, ring)
@@ -350,6 +357,7 @@ def quadrant_knn_join(
     extent: float = 1000.0,
     min_dist: float = 3.0,
     max_proof_rounds: int = 4,
+    prologue_rings: tuple[int, ...] = (1, 4),
 ) -> DataFrame:
     """J6: nearest `right` per cardinal quadrant around each `left` point.
 
@@ -362,6 +370,9 @@ def quadrant_knn_join(
     the docstring to say so). Candidates with dist < min_dist are dropped
     first (batch_sam.py:430-432, config.py:34). Output: left/right columns +
     quadrant + dist (one row per non-empty quadrant, ≤ 4 per left point).
+    CONTRACT: ``left_id`` / ``right_id`` non-null and unique per side — same
+    enrich()-by-equi-join re-attachment as knn_join, same silent row loss /
+    multiplication on violation.
 
     Completeness proof per (left, quadrant): found-best dist < ring radius,
     OR the quadrant's intersection with the candidate DATA BOUNDS is fully
@@ -490,7 +501,7 @@ def quadrant_knn_join(
     prologue_cached: list[DataFrame] = []
     rem = left_slim
     try:
-        for ring in (r for r in (1, 4) if r < max_ring):
+        for ring in (r for r in prologue_rings if r < max_ring):
             best = best_for(rem, ring, final=False).persist()
             prologue_cached.append(best)
             proven = proven_for(rem, best, ring)

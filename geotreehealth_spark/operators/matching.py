@@ -168,6 +168,9 @@ def same_tag_pair_distances(
     )
 
 
+RANDOM_K_HASH_P = 1000003
+
+
 def random_k_sample(
     left: DataFrame,
     right: DataFrame,
@@ -177,28 +180,89 @@ def random_k_sample(
     left_key: str,
     right_key: str,
     self_key: str | None = None,
+    direct_max_pairs: int = 2_000_000,
+    oversample: int = 8,
 ) -> DataFrame:
     """J7: k deterministic pseudo-random candidates per probe.
 
     Mirrors np.random.choice over the full candidate set
     (get_polygons.py:331-332) with RNG replaced by a fixed integer hash
-    ((a·lk + b·rk) mod p) so the draw is reproducible and SQL-expressible.
+    h = (a·lk + b·rk) mod p, so the draw is the k smallest h per probe
+    (ties by right_id) — reproducible and SQL-expressible.
     self_key: optional left column equal to right_key for self-exclusion.
 
-    Scale note: the faithful semantics sample from ALL candidates, which is a
-    probe x candidate product — bound the probe side (the reference does: one
-    target at a time) or compose with a cell-local prefilter when the
-    candidate pool can be restricted.
+    Plans (identical output, cost-switched like nms/knn residues):
+    - |L|·|R| <= direct_max_pairs: window rank over the enumerated product.
+    - else: the hash is evaluated INSIDE the join and only candidates with
+      h < T survive into the shuffle + per-probe sort, T sized so
+      ~oversample·k survive per probe (h is near-uniform mod p). Probes with
+      < k survivors (hash clumping) escalate T x oversample and re-scan only
+      those probes; the last escalation is T = p (full product), so the
+      result is EXACTLY the global top-k draw regardless of distribution —
+      same completeness-proof-or-escalate shape as the kNN rings. The
+      candidate side is still enumerated O(|L|·|R|) times in codegen (the
+      faithful semantics sample from ALL candidates), but the shuffled /
+      window-sorted volume drops from the full product to
+      O(oversample·k·|L|) rows, which is what breaks at scale.
     """
     lk = F.col(left_key)
     rk = F.col(right_key)
-    pairs = left.crossJoin(right)
-    if self_key is not None:
-        pairs = pairs.where(F.col(self_key) != rk)
-    h = F.pmod(lk * F.lit(48271) + rk * F.lit(40503), F.lit(1000003))
+    h = F.pmod(lk * F.lit(48271) + rk * F.lit(40503), F.lit(RANDOM_K_HASH_P))
     w = Window.partitionBy(left_id).orderBy(h.asc(), F.col(right_id).asc())
-    return (
-        pairs.withColumn("draw_rank", F.row_number().over(w))
-        .where(F.col("draw_rank") <= k)
-        .select(left_id, right_id, "draw_rank")
-    )
+
+    def enumerate_pairs(probes: DataFrame) -> DataFrame:
+        pairs = probes.crossJoin(right)
+        if self_key is not None:
+            pairs = pairs.where(F.col(self_key) != rk)
+        return pairs
+
+    n_left = left.count()
+    n_right = right.count()
+    if n_left * n_right <= direct_max_pairs:
+        return (
+            enumerate_pairs(left)
+            .withColumn("draw_rank", F.row_number().over(w))
+            .where(F.col("draw_rank") <= k)
+            .select(left_id, right_id, "draw_rank")
+        )
+
+    import math
+
+    frac = min(1.0, (oversample * k) / max(n_right, 1))
+    threshold = max(1, int(math.ceil(RANDOM_K_HASH_P * frac)))
+    remaining = left
+    parts: list[DataFrame] = []
+    while True:
+        final = threshold >= RANDOM_K_HASH_P
+        cand = (
+            enumerate_pairs(remaining)
+            .withColumn("__h", h)
+            .where(F.col("__h") < F.lit(threshold))
+            .select(left_id, right_id, "__h")
+            .localCheckpoint(eager=True)
+        )
+        # >= k survivors under T ⇒ the k-th smallest (h, right_id) is under
+        # T too ⇒ this probe's global top-k is fully inside `cand`
+        satisfied = (
+            cand.groupBy(left_id).count().where(F.col("count") >= k).select(left_id)
+        )
+        done = cand if final else cand.join(satisfied, left_id, "left_semi")
+        parts.append(
+            done.withColumn("draw_rank", F.row_number().over(
+                Window.partitionBy(left_id).orderBy(
+                    F.col("__h").asc(), F.col(right_id).asc()
+                )
+            ))
+            .where(F.col("draw_rank") <= k)
+            .select(left_id, right_id, "draw_rank")
+        )
+        if final:
+            break
+        remaining = remaining.join(satisfied, left_id, "left_anti")
+        if remaining.isEmpty():
+            break
+        # escalation factor floored at 2: with oversample=1 a literal
+        # `*= oversample` never grows T and the loop spins forever re-scanning
+        # the same shortfall probes at the same threshold
+        threshold *= max(2, oversample)
+    return reduce(lambda a, b: a.unionByName(b), parts)

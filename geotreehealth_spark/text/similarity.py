@@ -200,6 +200,52 @@ def ivf_centroids(dim: int, n_lists: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_lists: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: np.ndarray | None = None,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd's) coarse quantizer, trained distributedly.
+
+    Fills the r4 seam: `ivf_centroids` documented that production IVF trains
+    its lists with k-means; this is that trainer, expressed Spark-first —
+    each round is ONE map-side job: coarse-assign every vector with the same
+    zero-shuffle sort_array argmax used at query time (`_ivf_listed`), then
+    a single groupBy(list_id) with per-dimension F.sum columns (map-side
+    combinable, no explode — n_lists x (dim+1) doubles cross the shuffle,
+    nothing else) and an n_lists-row collect. Update = per-list mean
+    re-normalized to the unit sphere (cosine IVF); empty lists keep their
+    previous centroid. Init defaults to the seeded `ivf_centroids` draw so
+    training is reproducible run-to-run (up to float-sum association order
+    across partitions — why the ORACLE-gated path keeps the seeded literals
+    and the trained path is pytest-gated on recall instead).
+    """
+    cents = (init if init is not None else ivf_centroids(dim, n_lists)).copy()
+    for _ in range(iters):
+        assigned = _ivf_listed(embeddings, cents, 1, id_col, vec_col, "__id", "__v")
+        rows = (
+            assigned.groupBy("list_id")
+            .agg(
+                F.count("*").alias("__n"),
+                *[
+                    F.sum(F.col("__v")[i].cast("double")).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for row in rows:
+            mean = np.array([row[f"__s{i}"] for i in range(dim)]) / row["__n"]
+            norm = float(np.linalg.norm(mean))
+            if norm > 0.0:
+                cents[row["list_id"]] = mean / norm
+    return cents
+
+
 def _ivf_listed(
     df: DataFrame,
     cents: np.ndarray,
@@ -240,6 +286,7 @@ def ann_ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: inverted-file candidate generation + exact cosine re-rank.
 
@@ -248,11 +295,18 @@ def ann_ivf_topk(
     literals), probes fan out to their nprobe best lists, and the candidate
     join is a plain equi-join on list_id — work is the probed lists'
     occupancy, not |emb| x |probes|. Exact top-k OF THE CANDIDATE SET (ANN
-    semantics), identical output shape to ann_lsh_topk."""
-    cents = ivf_centroids(dim, n_lists)
+    semantics), identical output shape to ann_lsh_topk.
+
+    ``centroids``: trained coarse quantizer (train_ivf_centroids); defaults
+    to the seeded deterministic draw so the SQL oracle's literals match."""
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_lists)
     e = _ivf_listed(embeddings, cents, 1, id_col, vec_col, "neighbor_id", "__v")
     p = _ivf_listed(probes, cents, nprobe, id_col, vec_col, "probe_id", "__pv")
-    cand = e.join(F.broadcast(p), "list_id").where(
+    # No broadcast hint on the probe side: probes fan out nprobe-x with full
+    # dim-wide vectors, so at north-star probe cardinality a forced broadcast
+    # is a driver-OOM risk (same rationale that removed the matching.py hint,
+    # r3 item 2). AQE broadcasts it at runtime when it is actually small.
+    cand = e.join(p, "list_id").where(
         F.col("neighbor_id") != F.col("probe_id")
     )
     w = Window.partitionBy("probe_id").orderBy(

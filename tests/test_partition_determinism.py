@@ -1,7 +1,9 @@
 """SURVEY.md §5 plan item 4: results must not depend on partition count.
 
-Runs the same representative queries (kNN — driver-loop + window ranking, and
-greedy NMS — sequential-parity fixpoint) in two fresh subprocesses at
+Runs the same representative queries (kNN — driver-loop + window ranking,
+greedy NMS — sequential-parity fixpoint, and dup_components — label-
+propagation fixpoint, the third driver-loop iterative path) in two fresh
+subprocesses at
 local[2]/shuffle=2 and local[8]/shuffle=8 and asserts the sorted row dumps are
 byte-identical. Subprocesses because a JVM allows one SparkContext; the two
 runs must genuinely build separate sessions with different parallelism.
@@ -23,7 +25,7 @@ cores, shuffle = int(sys.argv[1]), int(sys.argv[2])
 spark = get_spark(app_name=f"pdet-{{cores}}", cores=cores,
                   shuffle_partitions=shuffle)
 qs = entry.queries()
-for name in ("knn", "nms_greedy"):
+for name in ("knn", "nms_greedy", "dup_components"):
     df = qs[name](spark, "/root/testdata/sf0.001")
     rows = sorted(tuple(r) for r in df.collect())
     digest = hashlib.sha256(repr(rows).encode()).hexdigest()
@@ -43,7 +45,7 @@ def _run(cores: int, shuffle: int) -> dict[str, str]:
         if line.startswith("RESULT "):
             _, name, n, digest = line.split()
             out[name] = (int(n), digest)
-    assert set(out) == {"knn", "nms_greedy"}, proc.stdout[-2000:]
+    assert set(out) == {"knn", "nms_greedy", "dup_components"}, proc.stdout[-2000:]
     return out
 
 

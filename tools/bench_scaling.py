@@ -174,7 +174,37 @@ def _health_probe() -> float:
     return time.time() - t0
 
 
+def _ambient_busy_cores(sample_sec: float = 1.5) -> float:
+    """Cores currently busy on the WHOLE host, sampled from /proc/stat.
+
+    The r4 poisoning mode that the single-thread probe cannot see: other
+    tenants holding ~10 of the 32 cores. A 1-thread matmul still runs at
+    full speed (probe 0.27s, "healthy"), an 8-thread Spark run mostly fits
+    in the gap, but the 32-thread run competes for every core and measured
+    109s vs 29s — the committed 0.067 "efficiency". Sampling aggregate
+    non-idle jiffies over a short window (taken while WE are idle, before
+    each level launch) measures exactly that contention. loadavg is not
+    usable here: its 1-minute decay is polluted by our own just-finished
+    level run.
+    """
+    import time
+
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        idle = vals[3] + vals[4]  # idle + iowait
+        return sum(vals), idle
+
+    t0, i0 = snap()
+    time.sleep(sample_sec)
+    t1, i1 = snap()
+    dt = t1 - t0
+    return 0.0 if dt == 0 else (dt - (i1 - i0)) / dt * os.cpu_count()
+
+
 HEALTH_THRESHOLD = 1.2
+AMBIENT_BUSY_MAX = 6.0  # cores held by other tenants; >6/32 poisons local[32]
 
 
 def main() -> None:
@@ -193,20 +223,33 @@ def main() -> None:
     # artifact — real 4N executors each bring their own bandwidth); N=4 (vs
     # 16) leaves headroom and isolates the algorithmic scaling behavior.
     probe_before = _health_probe()
-    res_n = run_level(n, sf_dir)
-    res_4n = run_level(n4, sf_dir)
+    ambient: list[float] = []
+
+    def level(cores: int) -> dict:
+        # sampled while we are idle, just before the launch — per-level so a
+        # tenant arriving mid-sequence is caught, not just at the endpoints
+        ambient.append(round(_ambient_busy_cores(), 2))
+        return run_level(cores, sf_dir)
+
+    res_n = level(n)
+    res_4n = level(n4)
     for _ in range(rounds - 1):
-        res_n = _merge_min(res_n, run_level(n, sf_dir))
-        res_4n = _merge_min(res_4n, run_level(n4, sf_dir))
+        res_n = _merge_min(res_n, level(n))
+        res_4n = _merge_min(res_4n, level(n4))
     probe_after = _health_probe()
 
     assert res_n["join_hash"] == res_4n["join_hash"], "parallelism changed results!"
 
-    healthy = max(probe_before, probe_after) < HEALTH_THRESHOLD
+    healthy = (
+        max(probe_before, probe_after) < HEALTH_THRESHOLD
+        and max(ambient) < AMBIENT_BUSY_MAX
+    )
     report = {"sf_dir": sf_dir, "levels": {str(n): res_n, str(n4): res_4n},
               "health_gate": {"probe_before_sec": round(probe_before, 2),
                               "probe_after_sec": round(probe_after, 2),
                               "threshold_sec": HEALTH_THRESHOLD,
+                              "ambient_busy_cores": ambient,
+                              "ambient_busy_max": AMBIENT_BUSY_MAX,
                               "healthy": healthy},
               "jobs": {}}
     for job, unit_key, unit in [

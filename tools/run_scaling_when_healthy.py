@@ -23,12 +23,22 @@ def probe() -> float:
 
 
 def wait_healthy(threshold: float = 1.2, max_wait: float = 7200.0) -> bool:
+    # Both throttling modes gate entry (BASELINE.md §3 + r4 verdict item 1):
+    # the single-thread probe catches cgroup quota windows, the ambient
+    # /proc/stat sample catches other tenants holding cores — which the
+    # probe alone cannot see, and which is what poisoned the r4 record
+    # (probe 0.27s "healthy", ambient ~10 busy cores, local[32] 3.7x slower
+    # than local[8]).
+    from bench_scaling import _ambient_busy_cores, AMBIENT_BUSY_MAX
+
     t0 = time.time()
     streak = 0
     while time.time() - t0 < max_wait:
         dt = probe()
-        print(f"probe {dt:.2f}s (streak {streak})", flush=True)
-        if dt < threshold:
+        busy = _ambient_busy_cores()
+        print(f"probe {dt:.2f}s ambient {busy:.1f} cores (streak {streak})",
+              flush=True)
+        if dt < threshold and busy < AMBIENT_BUSY_MAX:
             streak += 1
             if streak >= 2:
                 return True
