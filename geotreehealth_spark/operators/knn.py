@@ -113,7 +113,7 @@ def knn_join(
     extent: float = 1000.0,
     min_dist: float | None = None,
     max_proof_rounds: int = 4,
-    prologue_rings: tuple[int, ...] = (1, 4),
+    prologue_rings: tuple[int, ...] = (1,),
 ) -> DataFrame:
     """Exact k nearest `right` rows per `left` row; ties broken by right_id.
 
@@ -237,7 +237,12 @@ def knn_join(
             .select(*left.columns, *right.columns, "dist", "knn_rank")
         )
 
-    # --- fused prologue: rings 1 and 4 composed into ONE job ---------------
+    # --- fused prologue: the prologue_rings rounds composed into ONE job ---
+    # Default is a SINGLE ring-1 round: at forest density the ring-1 box
+    # already proves ~all probes, and the second (ring-4) round cost 5-7
+    # near-empty stages per call for a residue the escalation path handles
+    # anyway (A/B at sf0.1: knn 9.0->6.3 s, quadrant 16.5->13.2 s, identical
+    # rows). Pass (1, 4) for sparse/clustered data where ring-1 proves few.
     # Round 2 (item 3 of VERDICT r3): the per-round count() driver barriers
     # dominated kNN latency (2-3 full jobs per call). Here ring-1 and ring-4
     # candidates, both proofs, the winner enrichment, and the leftover residue
@@ -250,6 +255,7 @@ def knn_join(
     pieces: list[DataFrame] = []
     prologue_cached: list[DataFrame] = []
     rem = left_slim
+    last_ring, n_prologue = 1, 0
     try:
         for ring in (r for r in prologue_rings if r < max_ring):
             ranked = ranked_for(rem, ring, final=False).persist()
@@ -258,6 +264,7 @@ def knn_join(
             pieces.append(ranked.join(proven, left_id, "left_semi"))
             rem = rem.join(proven, left_id, "left_anti").persist()
             prologue_cached.append(rem)
+            last_ring, n_prologue = ring, n_prologue + 1
         good_slim = pieces[0]
         for p in pieces[1:]:
             good_slim = good_slim.unionByName(p)
@@ -313,12 +320,22 @@ def knn_join(
         ([right_mat] if right_owned else []) + ([left_mat] if left_owned else [])
     )
     remaining = residue
-    ring, rounds = 16, 2
+    # escalation continues 4x from wherever the prologue stopped — with the
+    # default single-ring prologue that's ring 4, not a 16^2-cell explode
+    ring, rounds = 4 * last_ring, max(n_prologue, 1)
     if n_rem * max(n_right, 1) <= 500_000_000:
         rounds = max_proof_rounds
     try:
         while True:
             final = ring >= max_ring or rounds >= max_proof_rounds
+            if final:
+                # task-count clamp: a 4-probe residue otherwise inherits the
+                # probe side's partitioning and fans the crossJoin into ~96
+                # near-empty tasks across 2 stages (measured ~3 s of the
+                # sf0.1 quadrant call); ~2M distance rows per task is < 1 s
+                # of real work each
+                parts = max(1, min(n_rem * max(n_right, 1) // 2_000_000 + 1, 64))
+                remaining = remaining.coalesce(int(parts))
             ranked = ranked_for(remaining, ring, final)
             if final:
                 results.append(enrich(ranked))
@@ -337,10 +354,14 @@ def knn_join(
             else:
                 rounds += 1
             ring *= 4
-        out = results[0]
-        for r in results[1:]:
-            out = out.unionByName(r)
-        return out.localCheckpoint(eager=True)
+        # checkpoint ONLY the rare-path pieces (they read `persisted` caches
+        # released below) — `good` is already backed by the prologue's
+        # checkpoint blocks; re-materializing it through a second checkpoint
+        # doubled the result write for a handful of residue probes
+        extra = results[1]
+        for r in results[2:]:
+            extra = extra.unionByName(r)
+        return results[0].unionByName(extra.localCheckpoint(eager=True))
     finally:
         for df in persisted + scratch:
             df.unpersist()
@@ -357,7 +378,7 @@ def quadrant_knn_join(
     extent: float = 1000.0,
     min_dist: float = 3.0,
     max_proof_rounds: int = 4,
-    prologue_rings: tuple[int, ...] = (1, 4),
+    prologue_rings: tuple[int, ...] = (1,),
 ) -> DataFrame:
     """J6: nearest `right` per cardinal quadrant around each `left` point.
 
@@ -426,18 +447,15 @@ def quadrant_knn_join(
     def best_for(rem: DataFrame, ring: int, final: bool) -> DataFrame:
         if final:
             # safety net only: with coverage proofs every probe is provable
-            # once the ring covers the data bounds (window path: the slim
-            # candidates are only computed once here)
+            # once the ring covers the data bounds (slim candidates are only
+            # computed once here; same two-phase argmin as the ring path —
+            # the full-window sort over |residue| x |right| crossJoin rows
+            # was ~3 s for FOUR residue probes at sf0.1)
             cands = rem.crossJoin(right_slim).withColumn(
                 "dist", distance_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
             )
-            cands = cands.where(F.col("dist") >= min_dist).withColumn(
-                "quadrant", quadrant
-            )
-            return cands.withColumn("__rn", F.row_number().over(w)).where(
-                F.col("__rn") == 1
-            ).drop("__rn")
-        cands = _candidates(rem, right_cells, cell_size, ring, lx, ly, rx, ry)
+        else:
+            cands = _candidates(rem, right_cells, cell_size, ring, lx, ly, rx, ry)
         cands = cands.where(F.col("dist") >= min_dist).withColumn("quadrant", quadrant)
         # two-phase exact argmin per (probe, quadrant) instead of a window:
         # min(dist) is a fixed-width HashAggregate with map-side partial
@@ -500,6 +518,7 @@ def quadrant_knn_join(
     pieces: list[DataFrame] = []
     prologue_cached: list[DataFrame] = []
     rem = left_slim
+    last_ring, n_prologue = 1, 0
     try:
         for ring in (r for r in prologue_rings if r < max_ring):
             best = best_for(rem, ring, final=False).persist()
@@ -508,6 +527,7 @@ def quadrant_knn_join(
             pieces.append(best.join(proven, left_id, "left_semi"))
             rem = rem.join(proven, left_id, "left_anti").persist()
             prologue_cached.append(rem)
+            last_ring, n_prologue = ring, n_prologue + 1
         good_slim = pieces[0]
         for p in pieces[1:]:
             good_slim = good_slim.unionByName(p)
@@ -554,12 +574,17 @@ def quadrant_knn_join(
         ([right_mat] if right_owned else []) + ([left_mat] if left_owned else [])
     )
     remaining = residue
-    ring, rounds = 16, 2
+    # escalate 4x from wherever the prologue stopped — see knn_join
+    ring, rounds = 4 * last_ring, max(n_prologue, 1)
     if n_rem * max(n_right, 1) <= 500_000_000:
         rounds = max_proof_rounds
     try:
         while True:
             final = ring >= max_ring or rounds >= max_proof_rounds
+            if final:
+                # task-count clamp for tiny residues — see knn_join
+                parts = max(1, min(n_rem * max(n_right, 1) // 2_000_000 + 1, 64))
+                remaining = remaining.coalesce(int(parts))
             best = best_for(remaining, ring, final)
             if final:
                 results.append(enrich(best))
@@ -578,14 +603,16 @@ def quadrant_knn_join(
             else:
                 rounds += 1
             ring *= 4
-        out = results[0]
-        for r in results[1:]:
-            out = out.unionByName(r)
+        # checkpoint only the rare-path pieces — `good` already reads the
+        # prologue's checkpoint blocks; flat-lineage, leak-free result
+        # (ADVICE.md round 2) — see knn_join
+        extra = results[1]
+        for r in results[2:]:
+            extra = extra.unionByName(r)
         t0 = time.time()
-        out = out.localCheckpoint(eager=True)
+        extra = extra.localCheckpoint(eager=True)
         _trace("quadrant rare-path final checkpoint", t0)
-        # flat-lineage, leak-free result (ADVICE.md round 2) — see knn_join
-        return out
+        return results[0].unionByName(extra)
     finally:
         for df in persisted + scratch:
             df.unpersist()
