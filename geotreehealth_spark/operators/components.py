@@ -62,19 +62,35 @@ def connected_components(
     # inverted-index join) must not re-execute per round (measured 44 s -> a
     # few s at sf0.1 for the dup_components query)
     sc = edges.sparkSession.sparkContext
-    sym, sym_blocks = _checkpoint_tracked(
+    live: list = []  # every block created, released wholesale on failure
+
+    def tracked(df: DataFrame) -> tuple[DataFrame, list]:
+        out, blocks = _checkpoint_tracked(df, sc)
+        live.extend(blocks)
+        return out, blocks
+
+    try:
+        return _run(edges, src, dst, nodes, max_iters, tracked)
+    except BaseException:
+        # a failed call must not leak checkpoint blocks into a long-lived
+        # session (unpersist of an already-released RDD is a no-op, so the
+        # wholesale sweep is safe alongside _run's inline releases)
+        for r in live:
+            r.unpersist()
+        raise
+
+
+def _run(edges, src, dst, nodes, max_iters, tracked) -> DataFrame:
+    sym, sym_blocks = tracked(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-        ),
-        sc,
+        )
     )
     if nodes is None:
         node_df = sym.select(F.col("a").alias("node")).distinct()
     else:
         node_df = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
-    labels, prev_blocks = _checkpoint_tracked(
-        node_df.withColumn("comp", F.col("node")), sc
-    )
+    labels, prev_blocks = tracked(node_df.withColumn("comp", F.col("node")))
     for _ in range(max_iters):
         # (a) best neighbor label
         nbr = (
@@ -114,7 +130,7 @@ def connected_components(
         # (eager=True truncates the dependency), so a long-lived session
         # holds at most TWO rounds of (node, comp) blocks plus the edge
         # list, not O(rounds) of them (ADVICE r4).
-        new, new_blocks = _checkpoint_tracked(new, sc)
+        new, new_blocks = tracked(new)
         changed = new.agg(F.sum("__changed")).first()[0]
         for r in prev_blocks:
             r.unpersist()

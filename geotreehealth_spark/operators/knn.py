@@ -265,10 +265,6 @@ def knn_join(
             rem = rem.join(proven, left_id, "left_anti").persist()
             prologue_cached.append(rem)
             last_ring, n_prologue = ring, n_prologue + 1
-        good_slim = pieces[0]
-        for p in pieces[1:]:
-            good_slim = good_slim.unionByName(p)
-        enriched = enrich(good_slim).withColumn("__residue", F.lit(-1))
         res_piece = rem.select(left_id).join(left_mat, left_id)
         for f in right.schema.fields:
             res_piece = res_piece.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -278,7 +274,17 @@ def knn_join(
             .withColumn("knn_rank", F.lit(-1))
             .withColumn("__residue", F.lit(1))
         )
-        allp = enriched.unionByName(res_piece)
+        if pieces:
+            good_slim = pieces[0]
+            for p in pieces[1:]:
+                good_slim = good_slim.unionByName(p)
+            enriched = enrich(good_slim).withColumn("__residue", F.lit(-1))
+            allp = enriched.unionByName(res_piece)
+        else:
+            # no prologue ring fit under max_ring (caller-tuned rings at a
+            # coarse cell size): every probe is residue, the escalation loop
+            # does all the work
+            allp = res_piece
         # THE one job barrier for the common case; also the flat-lineage
         # result handle. The checkpointed blocks themselves are NOT
         # releasable through the DataFrame API (ADVICE r3) — long-lived
@@ -444,7 +450,9 @@ def quadrant_knn_join(
 
     scratch: list[DataFrame] = []
 
-    def best_for(rem: DataFrame, ring: int, final: bool) -> DataFrame:
+    def best_for(
+        rem: DataFrame, ring: int, final: bool, small_final: bool = True
+    ) -> DataFrame:
         if final:
             # safety net only: with coverage proofs every probe is provable
             # once the ring covers the data bounds (slim candidates are only
@@ -457,6 +465,14 @@ def quadrant_knn_join(
         else:
             cands = _candidates(rem, right_cells, cell_size, ring, lx, ly, rx, ry)
         cands = cands.where(F.col("dist") >= min_dist).withColumn("quadrant", quadrant)
+        if final and not small_final:
+            # big-residue final: the two-phase argmin persists the candidate
+            # set for its second scan — up to the 500M-row cost switch that
+            # is multi-GB of cache, so stream a single window pass instead
+            # (review r5)
+            return cands.withColumn("__rn", F.row_number().over(w)).where(
+                F.col("__rn") == 1
+            ).drop("__rn")
         # two-phase exact argmin per (probe, quadrant) instead of a window:
         # min(dist) is a fixed-width HashAggregate with map-side partial
         # combine, so the shuffle moves ~|rem|x4 group rows instead of every
@@ -528,10 +544,6 @@ def quadrant_knn_join(
             rem = rem.join(proven, left_id, "left_anti").persist()
             prologue_cached.append(rem)
             last_ring, n_prologue = ring, n_prologue + 1
-        good_slim = pieces[0]
-        for p in pieces[1:]:
-            good_slim = good_slim.unionByName(p)
-        enriched = enrich(good_slim).withColumn("__residue", F.lit(-1))
         res_piece = rem.select(left_id).join(left_mat, left_id)
         for f in right.schema.fields:
             res_piece = res_piece.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -541,7 +553,15 @@ def quadrant_knn_join(
             .withColumn("quadrant", F.lit(None).cast("string"))
             .withColumn("__residue", F.lit(1))
         )
-        allp = enriched.unionByName(res_piece)
+        if pieces:
+            good_slim = pieces[0]
+            for p in pieces[1:]:
+                good_slim = good_slim.unionByName(p)
+            enriched = enrich(good_slim).withColumn("__residue", F.lit(-1))
+            allp = enriched.unionByName(res_piece)
+        else:
+            # no prologue ring fit under max_ring — see knn_join
+            allp = res_piece
         t0 = time.time()
         chk = allp.localCheckpoint(eager=True)
         _trace("quadrant prologue checkpoint", t0)
@@ -585,7 +605,10 @@ def quadrant_knn_join(
                 # task-count clamp for tiny residues — see knn_join
                 parts = max(1, min(n_rem * max(n_right, 1) // 2_000_000 + 1, 64))
                 remaining = remaining.coalesce(int(parts))
-            best = best_for(remaining, ring, final)
+            best = best_for(
+                remaining, ring, final,
+                small_final=n_rem * max(n_right, 1) <= 50_000_000,
+            )
             if final:
                 results.append(enrich(best))
                 break

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from geotreehealth_spark.operators.knn import knn_join
+from geotreehealth_spark.operators.knn import _cached, knn_join
 from geotreehealth_spark.operators.pip_join import distance_expr, pip_join
 
 
@@ -214,7 +214,11 @@ def random_k_sample(
         pairs = probes.crossJoin(right)
         if self_key is not None:
             pairs = pairs.where(F.col(self_key) != rk)
-        return pairs
+        # NULL-keyed rows have no draw hash and can never be drawn — filtered
+        # in BOTH plans (without this the direct window ranked NULL h FIRST
+        # per Spark's NULLS FIRST asc ordering, while the threshold plan's
+        # `h < T` predicate dropped them: results flipped with input size)
+        return pairs.where(h.isNotNull())
 
     n_left = left.count()
     n_right = right.count()
@@ -230,39 +234,56 @@ def random_k_sample(
 
     frac = min(1.0, (oversample * k) / max(n_right, 1))
     threshold = max(1, int(math.ceil(RANDOM_K_HASH_P * frac)))
-    remaining = left
+    # the escalation loop is fully eager (checkpoint per round), so the
+    # inputs can be cached for its rounds and released before returning —
+    # without this every round recomputed both sides' upstream lineage.
+    # The per-round `cand` checkpoint blocks ARE the result's storage and
+    # stay live until the session-level release (bench release_caches), like
+    # every checkpointed result in this engine.
+    left_mat, l_owned = _cached(left)
+    right_mat, r_owned = _cached(right)
+    right = right_mat  # rebind: enumerate_pairs closes over this name
+    remaining = left_mat
     parts: list[DataFrame] = []
-    while True:
-        final = threshold >= RANDOM_K_HASH_P
-        cand = (
-            enumerate_pairs(remaining)
-            .withColumn("__h", h)
-            .where(F.col("__h") < F.lit(threshold))
-            .select(left_id, right_id, "__h")
-            .localCheckpoint(eager=True)
-        )
-        # >= k survivors under T ⇒ the k-th smallest (h, right_id) is under
-        # T too ⇒ this probe's global top-k is fully inside `cand`
-        satisfied = (
-            cand.groupBy(left_id).count().where(F.col("count") >= k).select(left_id)
-        )
-        done = cand if final else cand.join(satisfied, left_id, "left_semi")
-        parts.append(
-            done.withColumn("draw_rank", F.row_number().over(
-                Window.partitionBy(left_id).orderBy(
-                    F.col("__h").asc(), F.col(right_id).asc()
-                )
-            ))
-            .where(F.col("draw_rank") <= k)
-            .select(left_id, right_id, "draw_rank")
-        )
-        if final:
-            break
-        remaining = remaining.join(satisfied, left_id, "left_anti")
-        if remaining.isEmpty():
-            break
-        # escalation factor floored at 2: with oversample=1 a literal
-        # `*= oversample` never grows T and the loop spins forever re-scanning
-        # the same shortfall probes at the same threshold
-        threshold *= max(2, oversample)
+    try:
+        while True:
+            final = threshold >= RANDOM_K_HASH_P
+            cand = (
+                enumerate_pairs(remaining)
+                .withColumn("__h", h)
+                .where(F.col("__h") < F.lit(threshold))
+                .select(left_id, right_id, "__h")
+                .localCheckpoint(eager=True)
+            )
+            # >= k survivors under T ⇒ the k-th smallest (h, right_id) is
+            # under T too ⇒ this probe's global top-k is fully inside `cand`
+            satisfied = (
+                cand.groupBy(left_id).count().where(F.col("count") >= k)
+                .select(left_id)
+            )
+            done = cand if final else cand.join(satisfied, left_id, "left_semi")
+            parts.append(
+                done.withColumn("draw_rank", F.row_number().over(
+                    Window.partitionBy(left_id).orderBy(
+                        F.col("__h").asc(), F.col(right_id).asc()
+                    )
+                ))
+                .where(F.col("draw_rank") <= k)
+                .select(left_id, right_id, "draw_rank")
+            )
+            if final:
+                break
+            remaining = remaining.join(satisfied, left_id, "left_anti")
+            if remaining.isEmpty():
+                break
+            # escalation factor floored at 2: with oversample=1 a literal
+            # `*= oversample` never grows T and the loop spins forever
+            # re-scanning the same shortfall probes at the same threshold
+            threshold *= max(2, oversample)
+    finally:
+        # parts read only the checkpointed blocks — the input caches can go
+        if l_owned:
+            left_mat.unpersist()
+        if r_owned:
+            right_mat.unpersist()
     return reduce(lambda a, b: a.unionByName(b), parts)

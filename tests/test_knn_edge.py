@@ -49,3 +49,30 @@ def test_knn_join_no_cache_leak(spark):
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     # the returned localCheckpoint RDD is the only retained block set
     assert after <= before + 1
+
+
+def test_empty_prologue_rings_exact(spark):
+    """Rings that all exceed max_ring leave an empty prologue: every probe is
+    residue and the escalation loop does all the work — same rows as the
+    default path (review r5: this used to IndexError on pieces[0])."""
+    left = _points(
+        spark, [(f"p{i}", i * 37.0 % 100, i * 53.0 % 100) for i in range(20)]
+    )
+    right = _points(
+        spark,
+        [(f"c{i}", i * 17.0 % 100, i * 29.0 % 100) for i in range(50)],
+        xcol="cx", ycol="cy", idcol="cid",
+    )
+    kw = dict(left_id="pid", right_id="cid", cell_size=50.0, extent=100.0)
+    rows = lambda df, cols: sorted(map(tuple, df.select(*cols).collect()))
+    cols = ("pid", "cid", "dist", "knn_rank")
+    a = rows(knn.knn_join(left, right, k=3, prologue_rings=(9,), **kw), cols)
+    b = rows(knn.knn_join(left, right, k=3, **kw), cols)
+    assert a == b and len(a) == 60
+    qcols = ("pid", "cid", "quadrant", "dist")
+    qa = rows(
+        knn.quadrant_knn_join(left, right, min_dist=0.0, prologue_rings=(9,), **kw),
+        qcols,
+    )
+    qb = rows(knn.quadrant_knn_join(left, right, min_dist=0.0, **kw), qcols)
+    assert qa == qb and qa

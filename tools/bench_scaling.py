@@ -265,21 +265,23 @@ def main() -> None:
             "scaling_efficiency": round(tp_4n / (4.0 * tp_n), 3),
         }
     print(json.dumps(report, indent=2))
-    with open("BENCH_SCALING.json", "w") as f:
-        json.dump(report, f, indent=2)
-    # level-stamped copy so N/4N pairs at different N coexist as evidence
-    # (BASELINE.md cites BENCH_SCALING_4_16.json and BENCH_SCALING_8_32.json).
-    # An UNGATED run (throttled-window probe) must never overwrite a
-    # health-gated record — round 4's end-of-round snapshot did exactly that
-    # (join efficiency 0.172 from a throttled window clobbered the gated
-    # 0.417 record); ungated runs now land in a *_ungated.json side file.
-    stamped = f"BENCH_SCALING_{n}_{n4}.json"
+    # An UNGATED run (throttled window / tenant contention) must never
+    # overwrite a health-gated record — round 4's end-of-round snapshot did
+    # exactly that (join efficiency 0.172 from a throttled window clobbered
+    # the gated 0.417 record); ungated runs land in *_ungated.json side
+    # files, INCLUDING the unstamped latest-run file (review r5: the first
+    # version routed only the stamped copy, so an ungated rerun still
+    # clobbered BENCH_SCALING.json).
+    suffix = "" if healthy else "_ungated"
     if not healthy:
-        stamped = f"BENCH_SCALING_{n}_{n4}_ungated.json"
-        print(f"UNGATED run (probe {probe_before:.2f}/{probe_after:.2f}s >= "
-              f"{HEALTH_THRESHOLD}s) -> writing {stamped}")
-    with open(stamped, "w") as f:
-        json.dump(report, f, indent=2)
+        print(f"UNGATED run (probe {probe_before:.2f}/{probe_after:.2f}s, "
+              f"ambient {max(ambient):.1f} cores) -> *_ungated.json")
+    # level-stamped copy so N/4N pairs at different N coexist as evidence
+    # (BASELINE.md cites BENCH_SCALING_4_16.json and BENCH_SCALING_8_32.json)
+    for name in (f"BENCH_SCALING{suffix}.json",
+                 f"BENCH_SCALING_{n}_{n4}{suffix}.json"):
+        with open(name, "w") as f:
+            json.dump(report, f, indent=2)
 
 
 if __name__ == "__main__":
