@@ -19,7 +19,6 @@ bit-identical).
 
 from __future__ import annotations
 
-from functools import reduce
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -45,6 +44,39 @@ def cosine_expr(a: Column, b: Column) -> Column:
     ad = F.transform(a, lambda v: v.cast("double"))
     bd = F.transform(b, lambda v: v.cast("double"))
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+# --- SQL-text expression builders (optimization round r6) -------------------
+# The fold-based helpers above are the right RUNTIME shape, but building the
+# literal plane/centroid arrays through F.lit costs one py4j round trip per
+# element: profiled at sf0.1, DataFrame CONSTRUCTION alone cost 5-7 s per LSH
+# query (ann_lsh_topk build=5.2 s vs count=1.5 s) — driver-side, before any
+# Spark job ran. The builders below emit the SAME fold expression as ONE SQL
+# string (a single parse call):
+#   aggregate(zip_with(transform(v, x -> CAST(x AS DOUBLE)), array(c0, ...),
+#             (x, y) -> x * y), 0.0e0, (acc, t) -> acc + t)
+# — identical tree, identical IEEE evaluation order, ~zero build cost.
+# (A flat `v[0]*c0 + v[1]*c1 + ...` expansion was tried first and REJECTED:
+# 48 x 64 flat terms made whole-stage codegen emit multi-MB generated
+# sources — 4.4 MiB task binaries, 12-37 s per pass vs 0.4 s for the fold —
+# so the interpreted-HOF runtime shape is deliberately kept.)
+
+
+def _fmt_d(x: float) -> str:
+    """Render a double so Spark SQL parses it back to the same IEEE value
+    (repr round-trips; an exponent suffix forces DOUBLE, not DECIMAL)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _dot_lits_sql(vec: str, coeffs) -> str:
+    """SQL text of _dot(transform(vec, cast-to-double), array(<coeffs>)) —
+    the exact fold tree `_bucket_col`/`_ivf_listed` used to build per-literal."""
+    lits = ", ".join(_fmt_d(c) for c in coeffs)
+    return (
+        f"aggregate(zip_with(transform(`{vec}`, x -> CAST(x AS DOUBLE)), "
+        f"array({lits}), (x, y) -> x * y), 0.0e0, (acc, v) -> acc + v)"
+    )
 
 
 def cosine_topk(
@@ -92,24 +124,31 @@ def rp_planes(dim: int, n_tables: int, n_planes: int) -> np.ndarray:
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
-def _bucket_col(vec_col: Column, table_planes: np.ndarray) -> Column:
-    """Sign-bit bucket of one table: Σ 2^j · [dot(vec, plane_j) >= 0]."""
-    vd = F.transform(vec_col, lambda v: v.cast("double"))
-    bits = []
-    for j in range(table_planes.shape[0]):
-        lits = F.array(*[F.lit(float(p)) for p in table_planes[j]])
-        bits.append(F.when(_dot(vd, lits) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    return reduce(lambda x, y: x + y, bits).cast("long")
+def _bucket_sql(vec_col: str, table_planes: np.ndarray) -> str:
+    """Sign-bit bucket of one table: Σ 2^j · [dot(vec, plane_j) >= 0] — the
+    SQL-text twin of the retired fold-based _bucket_col (same left-associated
+    dot chains, same when/otherwise null handling via CASE)."""
+    bits = " + ".join(
+        f"(CASE WHEN ({_dot_lits_sql(vec_col, table_planes[j])}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(table_planes.shape[0])
+    )
+    return f"CAST({bits} AS BIGINT)"
 
 
 def _bucketed(
     df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str, id_alias: str
 ) -> DataFrame:
-    """(id_alias, table_idx, bucket) — one row per (row, table)."""
-    exprs = [_bucket_col(F.col(vec_col), planes[t]) for t in range(planes.shape[0])]
+    """(id_alias, table_idx, bucket) — one row per (row, table). The bucket
+    array is ONE parsed SQL expression: 48 literal dot products built as text
+    cost one py4j round trip instead of ~3000 (r6 profile: the fold builders
+    spent 5+ s of pure driver time per LSH query constructing this plan)."""
+    arr = "array(" + ", ".join(
+        _bucket_sql(vec_col, planes[t]) for t in range(planes.shape[0])
+    ) + ")"
     return df.select(
         F.col(id_col).alias(id_alias),
-        F.posexplode(F.array(*exprs)).alias("table_idx", "bucket"),
+        F.posexplode(F.expr(arr)).alias("table_idx", "bucket"),
     )
 
 
@@ -124,10 +163,15 @@ def rp_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs: same bucket in ANY of the n_tables (OR-amplification),
     then exact cosine >= min_sim. Vectors join back only for the deduped
-    candidate set, so the bucket join shuffles ids, not arrays."""
+    candidate set, so the bucket join shuffles ids, not arrays.
+
+    r6: the bucket table is computed ONCE and persisted — the self-join's two
+    sides previously each re-ran the 48-dot bucket pipeline from the scan (no
+    exchange reuse across the join: the r6 before-plan shows the full subtree
+    twice); the b side is now a rename of the cached a side."""
     planes = rp_planes(dim, n_tables, n_planes)
-    a = _bucketed(embeddings, planes, id_col, vec_col, "id_a")
-    b = _bucketed(embeddings, planes, id_col, vec_col, "id_b")
+    a = _bucketed(embeddings, planes, id_col, vec_col, "id_a").persist()
+    b = a.withColumnRenamed("id_a", "id_b")
     cand = (
         a.join(b, ["table_idx", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -258,18 +302,14 @@ def _ivf_listed(
     """(id_alias, vec_alias, list_id) — the n_keep best inverted lists per
     row, ranked by (centroid dot DESC, list index ASC). Pure Catalyst: the
     per-row ranking is sort_array over (neg-score, idx) structs, NO window
-    shuffle — coarse assignment of the big side stays map-side."""
-    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    entries = F.array(
-        *[
-            F.struct(
-                (-_dot(vd, F.array(*[F.lit(float(x)) for x in cents[j]]))).alias("ns"),
-                F.lit(j).alias("list_id"),
-            )
-            for j in range(cents.shape[0])
-        ]
-    )
-    top = F.slice(F.sort_array(entries), 1, n_keep)
+    shuffle — coarse assignment of the big side stays map-side. The struct
+    array is ONE parsed SQL expression (r6): the per-literal builder cost
+    ~1 s of driver time per call for the 16x64 centroid constants."""
+    entries = "array(" + ", ".join(
+        f"named_struct('ns', -({_dot_lits_sql(vec_col, cents[j])}), 'list_id', {j})"
+        for j in range(cents.shape[0])
+    ) + ")"
+    top = F.expr(f"slice(sort_array({entries}), 1, {int(n_keep)})")
     return df.select(
         F.col(id_col).alias(id_alias),
         F.col(vec_col).alias(vec_alias),
