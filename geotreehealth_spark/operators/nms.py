@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geotreehealth_spark.operators.knn import _cached
 from geotreehealth_spark.operators.overlap import overlap_selfjoin
 from geotreehealth_spark.operators.udfs import overlap_ratio_udf, iou_udf
 
@@ -148,6 +149,7 @@ def greedy_nms(
     area_col: str | None = None,
     max_rounds: int = 64,
     driver_fixpoint_max: int = 2_000_000,
+    precomputed_edges: DataFrame | None = None,
 ) -> DataFrame:
     """polys + `selected` boolean, exactly matching sequential greedy NMS.
 
@@ -157,13 +159,27 @@ def greedy_nms(
     vectorized numpy loop there — hundreds of rounds at milliseconds each
     instead of seconds per distributed round of tiny joins. Beyond the cap the
     distributed join-based fixpoint takes over (identical semantics).
+
+    ``precomputed_edges``: optional (winner, loser) conflict edges already
+    oriented by the greedy order — weighted_nms passes the edges it derives
+    from its penalty pair set so the quadratic cell self-join runs ONCE per
+    call instead of twice (r6; the r6 before-plan showed two full
+    overlap_selfjoin subtrees).
     """
+    # r6: the polys lineage is read at least twice per call (conflict-edge
+    # discovery + the final selected join; 3x in weighted_nms) — persist it
+    # once instead of re-deriving the upstream joins/aggregations per use
+    polys, _ = _cached(polys)
     # localCheckpoint each round: the fixpoint otherwise builds an
     # exponentially-deep logical plan (classic iterative-DataFrame trap) and
     # the driver burns all its time in Catalyst re-analysis.
-    edges = nms_conflict_edges(
-        polys, id_col, score_col, threshold, cell_size, bounds, wkb_col, criterion,
-        area_col,
+    edges = (
+        precomputed_edges
+        if precomputed_edges is not None
+        else nms_conflict_edges(
+            polys, id_col, score_col, threshold, cell_size, bounds, wkb_col,
+            criterion, area_col,
+        )
     ).localCheckpoint(eager=True)
 
     if edges.count() <= driver_fixpoint_max:
@@ -260,6 +276,7 @@ def weighted_nms(
     which is order-independent and exact in both engines; the final score is
     priority - penalty_micro / 1e6.
     """
+    polys, _ = _cached(polys)  # read by the pair join AND the scored join (r6)
     slim = polys.select(id_col, *bounds)
     pairs = overlap_selfjoin(slim, id_col=id_col, cell_size=cell_size, bounds=bounds)
     if criterion == "iou":
@@ -268,10 +285,24 @@ def weighted_nms(
         m = box_iou_cols(bounds=bounds)
     else:
         m = _box_overlap_ratio_cols(bounds)
-    contrib = pairs.withColumn("__m", m).where(F.col("__m") > threshold)
-    both = contrib.select(
-        F.col(f"a_{id_col}").alias(id_col), F.col("__m")
-    ).unionByName(contrib.select(F.col(f"b_{id_col}").alias(id_col), F.col("__m")))
+    # r6: ONE quadratic pair-discovery pass. The threshold-surviving pairs
+    # feed BOTH the penalty aggregation and (with wscore attached per
+    # endpoint by two slim id-joins) the greedy conflict edges — previously
+    # greedy_nms re-ran the whole cell self-join on the scored table, so the
+    # dominant quadratic stage executed twice with identical pair output.
+    contrib = (
+        pairs.withColumn("__m", m)
+        .where(F.col("__m") > threshold)
+        .select(
+            F.col(f"a_{id_col}").alias("__ida"),
+            F.col(f"b_{id_col}").alias("__idb"),
+            "__m",
+        )
+        .persist()
+    )
+    both = contrib.select(F.col("__ida").alias(id_col), F.col("__m")).unionByName(
+        contrib.select(F.col("__idb").alias(id_col), F.col("__m"))
+    )
     penalty = both.groupBy(id_col).agg(
         F.sum(F.round(F.col("__m") * 1e6).cast("long")).alias("__pen_micro")
     )
@@ -283,10 +314,27 @@ def weighted_nms(
             - F.coalesce(F.col("__pen_micro"), F.lit(0)).cast("double") / 1e6,
         )
         .drop("__pen_micro")
+        # r6: read 3x (both edge-orientation sides + the final selected join
+        # inside greedy_nms) — persist so the penalty agg runs once
+        .persist()
+    )
+    sc = scored.select(F.col(id_col), F.col(score_col))
+    oriented = contrib.join(
+        sc.select(F.col(id_col).alias("__ida"), F.col(score_col).alias("__sa")), "__ida"
+    ).join(
+        sc.select(F.col(id_col).alias("__idb"), F.col(score_col).alias("__sb")), "__idb"
+    )
+    a_wins = (F.col("__sa") > F.col("__sb")) | (
+        (F.col("__sa") == F.col("__sb")) & (F.col("__ida") < F.col("__idb"))
+    )
+    edges = oriented.select(
+        F.when(a_wins, F.col("__ida")).otherwise(F.col("__idb")).alias("winner"),
+        F.when(a_wins, F.col("__idb")).otherwise(F.col("__ida")).alias("loser"),
     )
     return greedy_nms(
         scored, id_col=id_col, score_col=score_col, threshold=threshold,
         cell_size=cell_size, bounds=bounds, wkb_col=None, criterion=criterion,
+        precomputed_edges=edges,
     )
 
 

@@ -103,6 +103,10 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # r6: the shingle table feeds three consumers (sizes, both join sides) and
+    # was recomputed per consumer — shingling + distinct-shuffle x3; persist
+    # once (released by the session-level cache sweep, like other operators)
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -158,6 +162,10 @@ def jaccard_pairs(
     if max_df is not None:
         hot = toks.groupBy("token").count().where(F.col("count") > max_df).select("token")
         toks = toks.join(F.broadcast(hot), "token", "left_anti")
+    # r6: persist — sizes + both inverted-index join sides otherwise re-run
+    # the tokenize + distinct shuffle three times (no cross-join exchange
+    # reuse; see plans/r06/jaccard_pairs_before.txt)
+    toks = toks.persist()
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = toks.select(F.col(id_col).alias("id_a"), "token")
     b = toks.select(F.col(id_col).alias("id_b"), "token")
@@ -240,7 +248,11 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_hash"),
-    )
+    ).persist()
+    # r6: persist — the self-join's two sides each re-ran the whole signature
+    # pipeline (tokenize, distinct, 64-min agg, band md5) from the scan; the
+    # r6 before-plan shows the full subtree duplicated (one side as the
+    # broadcast build). One computation now feeds both sides.
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -346,7 +358,9 @@ def simhash_dedup_pairs(
         id_col,
         "simhash",
         F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
-    )
+    ).persist()
+    # r6: persist — both self-join sides otherwise recompute the 60-bit-vote
+    # signature aggregation from the scan (same duplication as minhash)
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
     b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
     pairs = (
