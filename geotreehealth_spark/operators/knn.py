@@ -436,10 +436,14 @@ def quadrant_knn_join(
     bx0, bx1, by0, by1, n_right = bounds
     if cell_size is None:
         density = max(n_right, 1) / (extent * extent)
-        # 4x mean spacing (was 8x in r3): a ring-1 box still holds ~150
-        # candidates at forest density, plenty for the per-quadrant distance
-        # proof, and the candidate join fans out 4x fewer rows
-        cell_size = max(min(4.0 * math.sqrt(1.0 / density), extent / 2), extent / 1024)
+        # 8x mean spacing (r6, back from r4's 4x): with the single-ring
+        # prologue the binding constraint is PROOF coverage, not fan-out — at
+        # 4x a handful of probes (4 at sf0.1) fail the ring-1 quadrant proof
+        # and pay a 4-5 s escalation round; at 8x the ring-1 box (~3 cells
+        # wide) proves everything and the whole call is one checkpoint job.
+        # Interleaved A/B at sf0.1 (tools/ab_knn.py): 8x+ring1 14.6 s vs
+        # 4x+ring2 15.9 vs 4x+ring1 ~16-20 s; identical output rows.
+        cell_size = max(min(8.0 * math.sqrt(1.0 / density), extent / 2), extent / 1024)
     # slim pipeline + winner enrichment — see knn_join
     left_mat, left_owned = _cached(left)
     left_slim = left_mat.select(left_id, lx, ly)

@@ -53,6 +53,13 @@ def containing_else_nearest(
     (points with no containing polygon), which is tiny for real crown data.
     """
     px, py = point_xy
+    # r6: points feed the PIP arm AND the residue anti-join; polygons feed
+    # the PIP arm AND the kNN fallback's candidate side; `best` feeds the
+    # matched arm AND the residue anti-join. All three lineages were
+    # recomputed per consumer (crowns' groupBy derivation twice per call) —
+    # persist each once; the session-level cache sweep releases them.
+    points, _ = _cached(points)
+    polygons, _ = _cached(polygons)
     contained = pip_join(
         points.select(point_id, px, py), polygons, cell_size, px, py, poly_wkb, poly_bounds
     )
@@ -64,7 +71,7 @@ def containing_else_nearest(
         point_id,
         F.col("__b.pid").alias(poly_id),
         (-F.col("__b.na")).alias(area_col),
-    )
+    ).persist()
     matched = best.select(point_id, poly_id).withColumn("method", F.lit("contained"))
 
     # no broadcast hint: matched ids are probe-proportional (≈ every matched
