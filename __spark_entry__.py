@@ -187,7 +187,9 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: the interleaved-docs input model, decoded back to typed views
     stems = decode.decode_stems(generator.stems_to_docs(synth.stems(spark, sf_dir)))
     probes = stems.where(F.col("stem_tag").cast("long") % 10 == 0)
-    crowns = synth.crowns(spark, sf_dir).drop("stem_tag")
+    # r6: crowns feed three stages (match, tile fan-out, zonal) — persist the
+    # derivation once instead of re-running the lineitem groupBy per stage
+    crowns = synth.crowns(spark, sf_dir).drop("stem_tag").persist()
     # stage 2: containing-else-nearest (PIP, kNN fallback for the residue)
     matched = matching.containing_else_nearest(
         probes, crowns, point_id="stem_tag", poly_id="crown_id", area_col="ca",

@@ -288,6 +288,27 @@ def rasterize_mask(
     rows = np.arange(r0, r1)
     px = txmin + (cols + 0.5) * res_x
     py = tymax - (rows + 0.5) * res_y
+    # r6 fast path: an axis-aligned rectangle ring needs no ray cast. The
+    # ray-cast edge rule for any rectangle traversal reduces to the half-open
+    # box test xmin <= px < xmax AND ymin <= py < ymax (two vertical edges
+    # cross at x=xmin/x=xmax for py in [ymin, ymax); horizontal edges never
+    # straddle), so the fast path is bit-identical to points_in_polygon —
+    # including the row-major (row, col) emission order of np.nonzero.
+    if len(ring) == 5 and ring[0, 0] == ring[4, 0] and ring[0, 1] == ring[4, 1]:
+        pts = {(ring[i, 0], ring[i, 1]) for i in range(4)}
+        corners = {(xmin, ymin), (xmin, ymax), (xmax, ymin), (xmax, ymax)}
+        axis_aligned = all(
+            ring[i, 0] == ring[i + 1, 0] or ring[i, 1] == ring[i + 1, 1]
+            for i in range(4)
+        )
+        if len(pts) == 4 and pts == corners and axis_aligned:
+            colmask = (px >= xmin) & (px < xmax)
+            rowmask = (py >= ymin) & (py < ymax)
+            sel_rows = rows[rowmask]
+            sel_cols = cols[colmask]
+            rr = np.repeat(sel_rows, len(sel_cols))
+            cc = np.tile(sel_cols, len(sel_rows))
+            return rr, cc, bool(len(rr))
     gx, gy = np.meshgrid(px, py)
     inside = kernels.points_in_polygon(gx.ravel(), gy.ravel(), ring).reshape(gy.shape)
     rr, cc = np.nonzero(inside)

@@ -31,8 +31,12 @@ def median_pick(
     """A2: per key, the row whose `value` is nearest the group median.
 
     One shuffle on `key`; median computed with two windows (no second shuffle —
-    same partitioning reused by Catalyst).
+    same partitioning reused by Catalyst). r6: the input lineage feeds both
+    the median derivation and the final pick join — persist it once.
     """
+    from geotreehealth_spark.operators.knn import _cached
+
+    df, _ = _cached(df)
     w_order = Window.partitionBy(key).orderBy(F.col(value).asc(), F.col(id_col).asc())
     w_all = Window.partitionBy(key)
     ranked = df.withColumn("__rn", F.row_number().over(w_order)).withColumn(

@@ -66,6 +66,10 @@ def zonal_raster_stats(
     """
     keep = ["crown_id", wkb_col, *crown_bounds]
     assigned = assign_tiles(crowns_geo.select(*keep), tiles, bounds=crown_bounds)
+    # r6: the count sketch AND the salted join both read `assigned` — without
+    # a persist the broadcast range join (|crowns| x |tiles| predicate evals)
+    # and the upstream crown derivation ran twice per call
+    assigned = assigned.persist()
     counts = assigned.groupBy("tile_id").agg(F.count("*").alias("__cnt"))
     assigned = (
         assigned.join(F.broadcast(counts), "tile_id")

@@ -137,6 +137,29 @@ TILES_SQL_SPARK = _TILES_BODY.format(gen=_SPARK_GEN)
 TILES_SQL_DUCK = _TILES_BODY.format(gen=_DUCK_GEN)
 
 
+# per-table hash-repartition key (r6): partitioning each ingest by its
+# primary key instead of round-robin (a) skips the local sort every keyless
+# repartition pays (spark.sql.execution.sortBeforeRepartition) and (b) lets
+# downstream aggregations/joins keyed by (a superset of) the key reuse the
+# ingest exchange — the crowns view's GROUP BY (l_orderkey, l_linenumber)
+# drops from two 600k-row shuffles to one (measured 1.56 s -> 0.48 s noop at
+# sf0.1), and that derivation runs 1-2x inside ~20 of the 35 headline
+# queries. Keys are near-unique per table, so the spread across partitions
+# matches round-robin; values are partition-independent either way.
+TABLE_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
 def register_tpch_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver parquet tables as temp views (idempotent).
 
@@ -144,14 +167,17 @@ def register_tpch_views(spark: SparkSession, sf_dir: str) -> None:
     yields ONE partition no matter how many cores the session has — and every
     narrow chain glued to it (cell encode, explode, join map side) would run
     single-threaded (measured: crown-stem join scaling 0.45 at 4→16 cores
-    purely from this). A tiny round-robin repartition to the session's
-    parallelism after ingest restores the downstream parallelism a many-file
-    100-TB table would have natively; values are partition-independent.
+    purely from this). A tiny repartition to the session's parallelism after
+    ingest restores the downstream parallelism a many-file 100-TB table would
+    have natively; values are partition-independent. Partitioning is BY the
+    table key (TABLE_KEYS) so key-compatible downstream exchanges are reused.
     """
     target = spark.sparkContext.defaultParallelism
     for name in TPCH_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df.repartition(target).createOrReplaceTempView(name)
+        key = TABLE_KEYS.get(name)
+        part = df.repartition(target, key) if key else df.repartition(target)
+        part.createOrReplaceTempView(name)
 
 
 def stems(spark: SparkSession, sf_dir: str) -> DataFrame:
