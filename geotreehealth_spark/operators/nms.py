@@ -190,8 +190,12 @@ def greedy_nms(
         from pyspark.sql.types import StructField, StructType
 
         id_type = polys.schema[id_col].dataType  # not hardcoded string (ADVICE.md)
+        # r6: ship the suppressed ids through the Arrow createDataFrame path
+        # (pandas input) — the row-tuple path pickles ~60k ids one by one
+        import pandas as pd
+
         supp_df = spark.createDataFrame(
-            [(s,) for s in suppressed_ids],
+            pd.DataFrame({id_col: suppressed_ids}),
             StructType([StructField(id_col, id_type)]),
         ).withColumn("__supp", F.lit(True))
         return (

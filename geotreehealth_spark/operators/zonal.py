@@ -40,7 +40,7 @@ def zonal_raster_stats(
     crown_bounds: tuple[str, str, str, str] = ("gxmin", "gymin", "gxmax", "gymax"),
     wkb_col: str = "geometry_wkb",
     n_bands: int = 12,
-    rows_per_group: int = 256,
+    rows_per_group: int = 4096,
     core_bounds: tuple[str, str, str, str] | None = None,
 ) -> DataFrame:
     """Per-crown band means/stds over the synthetic HSI tiles.
@@ -56,7 +56,12 @@ def zonal_raster_stats(
     tile_zonal scaling efficiency at 0.375 (VERDICT.md); proportional salt
     flattens group cost regardless of skew. The tile cube is re-resolved per
     sub-group (cheap — seeded generator / cached tile-store read) and the
-    partial-sum merge is unchanged.
+    partial-sum merge is unchanged. Default 4096 (r6, was 256): each
+    applyInPandas group pays a fixed Arrow/pandas dispatch cost, so thousands
+    of ~256-row groups spent more wall time on dispatch than on rasterizing
+    (A/B at sf0.1: 8.3 s -> 6.4 s min-of-3); ~4k rows is still far below a
+    task's memory budget (one tile cube + slim crown rows) and leaves salt
+    splitting active for genuinely hot tiles.
 
     core_bounds — optional names of the tile's OWNED (unbuffered) window
     columns. When tiles overlap, a pixel lies in several windows; clipping

@@ -171,13 +171,27 @@ def register_tpch_views(spark: SparkSession, sf_dir: str) -> None:
     ingest restores the downstream parallelism a many-file 100-TB table would
     have natively; values are partition-independent. Partitioning is BY the
     table key (TABLE_KEYS) so key-compatible downstream exchanges are reused.
+
+    Registration is memoized per (session, sf_dir) via a session conf marker
+    (r6): a warm re-registration cost ~0.9 s of pure driver work (10 parquet
+    footer reads + view plumbing) and ran 1-3x inside EVERY query entry. The
+    memo stores no data and no results — only the view definitions — so every
+    action still computes from the parquet inputs; switching sf_dir (or a new
+    session) re-registers.
     """
+    marker = "spark.geotreehealth.tpchViewsDir"
+    try:
+        if spark.conf.get(marker, None) == sf_dir:
+            return
+    except Exception:  # noqa: BLE001 - conf read must never break ingest
+        pass
     target = spark.sparkContext.defaultParallelism
     for name in TPCH_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         key = TABLE_KEYS.get(name)
         part = df.repartition(target, key) if key else df.repartition(target)
         part.createOrReplaceTempView(name)
+    spark.conf.set(marker, sf_dir)
 
 
 def stems(spark: SparkSession, sf_dir: str) -> DataFrame:
