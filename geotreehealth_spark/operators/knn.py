@@ -364,6 +364,8 @@ def knn_join(
         # released below) — `good` is already backed by the prologue's
         # checkpoint blocks; re-materializing it through a second checkpoint
         # doubled the result write for a handful of residue probes
+        if len(results) == 1:  # guard the loop invariant (ADVICE r5)
+            return results[0]
         extra = results[1]
         for r in results[2:]:
             extra = extra.unionByName(r)
@@ -633,6 +635,8 @@ def quadrant_knn_join(
         # checkpoint only the rare-path pieces — `good` already reads the
         # prologue's checkpoint blocks; flat-lineage, leak-free result
         # (ADVICE.md round 2) — see knn_join
+        if len(results) == 1:  # guard the loop invariant (ADVICE r5)
+            return results[0]
         extra = results[1]
         for r in results[2:]:
             extra = extra.unionByName(r)

@@ -227,11 +227,19 @@ def random_k_sample(
         # `h < T` predicate dropped them: results flipped with input size)
         return pairs.where(h.isNotNull())
 
-    n_left = left.count()
-    n_right = right.count()
+    # r6 (ADVICE r5): persist BEFORE counting — the counts then materialize
+    # the same caches every later branch reads, instead of computing the
+    # upstream lineage once for the cost-switch counts and again for the
+    # plans. The direct branch's returned plan reads the caches too (released
+    # by the session-level cache sweep, like other lazily-returned results).
+    left_mat, l_owned = _cached(left)
+    right_mat, r_owned = _cached(right)
+    right = right_mat  # rebind: enumerate_pairs closes over this name
+    n_left = left_mat.count()
+    n_right = right_mat.count()
     if n_left * n_right <= direct_max_pairs:
         return (
-            enumerate_pairs(left)
+            enumerate_pairs(left_mat)
             .withColumn("draw_rank", F.row_number().over(w))
             .where(F.col("draw_rank") <= k)
             .select(left_id, right_id, "draw_rank")
@@ -242,16 +250,13 @@ def random_k_sample(
     frac = min(1.0, (oversample * k) / max(n_right, 1))
     threshold = max(1, int(math.ceil(RANDOM_K_HASH_P * frac)))
     # the escalation loop is fully eager (checkpoint per round), so the
-    # inputs can be cached for its rounds and released before returning —
-    # without this every round recomputed both sides' upstream lineage.
+    # cached inputs serve its rounds and are released before returning.
     # The per-round `cand` checkpoint blocks ARE the result's storage and
     # stay live until the session-level release (bench release_caches), like
     # every checkpointed result in this engine.
-    left_mat, l_owned = _cached(left)
-    right_mat, r_owned = _cached(right)
-    right = right_mat  # rebind: enumerate_pairs closes over this name
     remaining = left_mat
     parts: list[DataFrame] = []
+    checkpointed: list[DataFrame] = []
     try:
         while True:
             final = threshold >= RANDOM_K_HASH_P
@@ -262,6 +267,7 @@ def random_k_sample(
                 .select(left_id, right_id, "__h")
                 .localCheckpoint(eager=True)
             )
+            checkpointed.append(cand)
             # >= k survivors under T ⇒ the k-th smallest (h, right_id) is
             # under T too ⇒ this probe's global top-k is fully inside `cand`
             satisfied = (
@@ -287,6 +293,14 @@ def random_k_sample(
             # `*= oversample` never grows T and the loop spins forever
             # re-scanning the same shortfall probes at the same threshold
             threshold *= max(2, oversample)
+    except BaseException:
+        # r6 (ADVICE r5): a mid-loop failure must not leak the per-round
+        # checkpoint blocks into a long-lived session — on success they ARE
+        # the result's storage, but a raised call returns nothing that reads
+        # them, so sweep them like knn_join/connected_components do
+        for df in checkpointed:
+            df.unpersist()
+        raise
     finally:
         # parts read only the checkpointed blocks — the input caches can go
         if l_owned:
