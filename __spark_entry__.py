@@ -58,21 +58,31 @@ def q_pip_assign_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: exact k=6 nearest crowns per probe stem via cell-ring pruning."""
+    """J5: exact k=6 nearest crowns per probe stem via cell-ring pruning.
+
+    r6: inputs are projected to the join/output columns BEFORE the call —
+    knn_join caches, enriches, and checkpoints every input column (the
+    checkpoint defeats Catalyst's pruning of the final select), so the full
+    13-column crown table rode the whole pipeline for a 4-column result."""
     stems = synth.stems(spark, sf_dir).where(F.col("stem_key") % 50 == 0)
     crowns = synth.crowns(spark, sf_dir).drop("stem_tag")
     out = knn.knn_join(
-        stems, crowns, k=6, left_id="stem_tag", right_id="crown_id",
+        stems.select("stem_tag", "x", "y"),
+        crowns.select("crown_id", "cx", "cy"),
+        k=6, left_id="stem_tag", right_id="crown_id",
     )
     return out.select("stem_tag", "crown_id", "dist", "knn_rank")
 
 
 def q_knn_quadrant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: nearest crown per cardinal quadrant, remove_too_close=3 m."""
+    """J6: nearest crown per cardinal quadrant, remove_too_close=3 m.
+    Inputs slimmed to the join/output columns before the call (see q_knn)."""
     stems = synth.stems(spark, sf_dir).where(F.col("stem_key") % 50 == 0)
     crowns = synth.crowns(spark, sf_dir).drop("stem_tag")
     out = knn.quadrant_knn_join(
-        stems, crowns, left_id="stem_tag", right_id="crown_id", min_dist=3.0,
+        stems.select("stem_tag", "x", "y"),
+        crowns.select("crown_id", "cx", "cy"),
+        left_id="stem_tag", right_id="crown_id", min_dist=3.0,
     )
     return out.select("stem_tag", "quadrant", "crown_id", "dist")
 
@@ -188,8 +198,11 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     stems = decode.decode_stems(generator.stems_to_docs(synth.stems(spark, sf_dir)))
     probes = stems.where(F.col("stem_tag").cast("long") % 10 == 0)
     # r6: crowns feed three stages (match, tile fan-out, zonal) — persist the
-    # derivation once instead of re-running the lineitem groupBy per stage
-    crowns = synth.crowns(spark, sf_dir).drop("stem_tag").persist()
+    # derivation once instead of re-running the lineitem groupBy per stage,
+    # projected to the columns those stages read (see q_knn)
+    crowns = synth.crowns(spark, sf_dir).select(
+        "crown_id", "cx", "cy", "xmin", "ymin", "xmax", "ymax", "ca"
+    ).persist()
     # stage 2: containing-else-nearest (PIP, kNN fallback for the residue)
     matched = matching.containing_else_nearest(
         probes, crowns, point_id="stem_tag", poly_id="crown_id", area_col="ca",
@@ -289,9 +302,15 @@ def q_containing_else_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotreehealth_spark.operators import matching
 
     stems = synth.stems(spark, sf_dir).where(F.col("stem_key") % 20 == 0)
-    crowns = synth.crowns(spark, sf_dir).drop("stem_tag")
+    # r6: project both sides to the match's working columns before the call —
+    # the operator persists its inputs, so unused attribute columns would
+    # ride the cache and the PIP/kNN pipelines (see q_knn)
+    crowns = synth.crowns(spark, sf_dir).select(
+        "crown_id", "cx", "cy", "xmin", "ymin", "xmax", "ymax", "ca"
+    )
     out = matching.containing_else_nearest(
-        stems, crowns, point_id="stem_tag", poly_id="crown_id", area_col="ca",
+        stems.select("stem_tag", "x", "y"), crowns,
+        point_id="stem_tag", poly_id="crown_id", area_col="ca",
         cell_size=25.0, poly_wkb=None,
     )
     return out.select("stem_tag", "crown_id", "method")
