@@ -72,11 +72,8 @@ def main() -> None:
     # quadrant default cell at sf0.1 is 4*sqrt(1/0.6)=5.164; knn default is
     # 1.25*sqrt(6/0.6)=3.953
     variants = [
-        ("knn r=(1,)", lambda: q_knn((1,))),
-        ("knn r=(1,) cell2x", lambda: q_knn((1,), cell=7.906)),
-        ("quad r=(2,)", lambda: q_quad((2,))),
-        ("quad r=(1,) cell2x", lambda: q_quad((1,), cell=10.328)),
-        ("quad r=(1,) cell3x", lambda: q_quad((1,), cell=15.49)),
+        ("quad r=(1,)", lambda: q_quad((1,))),
+        ("quad r=(1,4)", lambda: q_quad((1, 4))),
     ]
     best: dict[str, float] = {}
     rows: dict[str, int] = {}
