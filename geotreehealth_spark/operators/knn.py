@@ -190,8 +190,11 @@ def knn_join(
             # as slow as the window it replaced); the equality join back is a
             # broadcast of the tiny per-group minima, and the window ranks
             # only the min-dist rows (exact right_id tie-break preserved).
-            cands = cands.persist()  # read by both phases within one job
-            scratch.append(cands)
+            # The candidate set is NOT persisted between the two phases (r6):
+            # both phases re-run the broadcast cell join against the cached
+            # right side, which is strictly cheaper than writing+reading the
+            # LARGER candidate set (fan-out x right rows) through the cache —
+            # interleaved A/B at sf0.1: knn 2.63 s vs 3.82 s, every pass.
             m = cands.groupBy(left_id).agg(F.min("dist").alias("__md"))
             matched = (
                 cands.join(m, left_id)
@@ -487,8 +490,10 @@ def quadrant_knn_join(
         # back to SortAggregate and is just as slow). The equality join back
         # broadcasts the tiny minima, and the window ranks only the min-dist
         # rows — the exact (dist asc, right_id asc) tie-break is preserved.
-        cands = cands.persist()  # read by both phases within one job
-        scratch.append(cands)
+        # No persist between the phases (r6): recomputing the broadcast cell
+        # join from the cached right side beats caching the larger candidate
+        # set (A/B: quadrant 8.6 s vs 9.9 s min-of-3, every pass) — see
+        # knn_join's ranked_for.
         m = cands.groupBy(left_id, "quadrant").agg(F.min("dist").alias("__md"))
         matched = (
             cands.join(m, [left_id, "quadrant"])
