@@ -592,7 +592,6 @@ def q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles whose zonal means are closed-form. Irregular-polygon/random-cube
     parity stays in tests/test_zonal.py."""
     from geotreehealth_spark.operators import tiling, zonal
-    from geotreehealth_spark.operators.udfs import box_wkb_udf
 
     crowns = synth.crowns(spark, sf_dir)
     boxed = crowns.select(
@@ -602,17 +601,17 @@ def q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor("xmax") + 0.25).alias("bxmax"),
         (F.floor("ymax") + 0.25).alias("bymax"),
     )
-    geo = boxed.withColumn(
-        "geometry_wkb",
-        box_wkb_udf(F.col("bxmin"), F.col("bymin"), F.col("bxmax"), F.col("bymax")),
-    )
     tiles = tiling.tile_grid(spark, extent=1000.0, tile_size=100.0, overlap=0.0).selectExpr(
         "tile_id", "txmin", "tymin", "txmax", "tymax",
         "concat('hsic://tile/', CAST(tile_key AS STRING)) AS media_ref",
         "8 AS bands", "100 AS height", "100 AS width", "tile_key",
     )
+    # r6: wkb_col=None box convention — the footprints ARE their bounds
+    # boxes, so the WKB encode UDF + per-row decode + 93 B/row shuffle are
+    # pure overhead (the in-batch ring is vertex-identical to the encoded one)
     out = zonal.zonal_raster_stats(
-        geo, tiles, crown_bounds=("bxmin", "bymin", "bxmax", "bymax"), n_bands=8
+        boxed, tiles, crown_bounds=("bxmin", "bymin", "bxmax", "bymax"),
+        wkb_col=None, n_bands=8,
     )
     return out.select(
         "crown_id",

@@ -38,7 +38,7 @@ def zonal_raster_stats(
     crowns_geo: DataFrame,
     tiles: DataFrame,
     crown_bounds: tuple[str, str, str, str] = ("gxmin", "gymin", "gxmax", "gymax"),
-    wkb_col: str = "geometry_wkb",
+    wkb_col: str | None = "geometry_wkb",
     n_bands: int = 12,
     rows_per_group: int = 4096,
     core_bounds: tuple[str, str, str, str] | None = None,
@@ -68,8 +68,16 @@ def zonal_raster_stats(
     each group's rasterization to the core rect makes coverage exactly-once
     regardless of the manifest's overlap (round 1 documented this hazard
     instead of enforcing it). With abutting tiles (overlap=0) it's a no-op.
+
+    wkb_col=None (r6) — the crown footprint IS its bounds box, exactly like
+    pip_join's poly_wkb=None convention: the ring is built from the bounds
+    columns inside the batch (identical vertices/winding to the WKB the box
+    entry used to encode), so box callers skip the encode-UDF + 93 B/row
+    shuffle + per-row decode entirely.
     """
-    keep = ["crown_id", wkb_col, *crown_bounds]
+    keep = ["crown_id", *crown_bounds] if wkb_col is None else [
+        "crown_id", wkb_col, *crown_bounds
+    ]
     assigned = assign_tiles(crowns_geo.select(*keep), tiles, bounds=crown_bounds)
     # r6: the count sketch AND the salted join both read `assigned` — without
     # a persist the broadcast range join (|crowns| x |tiles| predicate evals)
@@ -110,7 +118,13 @@ def zonal_raster_stats(
         flat = cube.reshape(bands, -1)
         out = {"crown_id": [], "n_px": [], "band_sum": [], "band_sumsq": []}
         for row in pdf.itertuples():
-            ring = wkb.decode_polygon(row.geometry_wkb)
+            if wkb_col is None:
+                x0, y0, x1, y1 = (float(getattr(row, c)) for c in crown_bounds)
+                ring = np.array(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+                )
+            else:
+                ring = wkb.decode_polygon(row.geometry_wkb)
             rr, cc, any_px = media.rasterize_mask(ring, txmin, tymax, h, w, res_x, res_y)
             if not any_px:
                 continue
