@@ -499,10 +499,13 @@ def _fixpoint_local(edge_pdf) -> list:
 
     if len(edge_pdf) == 0:
         return []
-    all_ids, codes = np.unique(
-        np.concatenate([edge_pdf["winner"].to_numpy(), edge_pdf["loser"].to_numpy()]),
-        return_inverse=True,
+    # r6: pd.factorize (hash-based, O(n)) instead of np.unique, which SORTS
+    # the ~2x|edges| id strings (~0.4 s at 264k edges); the integer coding
+    # differs but the suppressed id SET is identical
+    codes, all_ids = pd.factorize(
+        np.concatenate([edge_pdf["winner"].to_numpy(), edge_pdf["loser"].to_numpy()])
     )
+    all_ids = np.asarray(all_ids)
     m = len(edge_pdf)
     w = codes[:m]
     l = codes[m:]
