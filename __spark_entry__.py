@@ -727,7 +727,6 @@ def q_geometric_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle counts union pixels by enumeration and components by recursive
     min-label propagation over the box-adjacency graph."""
     from geotreehealth_spark.operators import vectorize
-    from geotreehealth_spark.operators.udfs import box_wkb_udf
 
     crowns = synth.crowns(spark, sf_dir).where(F.col("crown_key") % 20 == 1)
     boxed = crowns.select(
@@ -741,10 +740,13 @@ def q_geometric_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor("xmax") + 1).cast("double").alias("x1"),
         (F.floor("ymax") + 1).cast("double").alias("y1"),
     )
-    geo = boxed.withColumn(
-        "geometry_wkb", box_wkb_udf(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+    # r6: bounds_cols box convention — rings are built in-batch from the four
+    # bound columns (vertex-identical to the encoded boxes), skipping the WKB
+    # encode UDF and per-row decode
+    parts = vectorize.geometric_union(
+        boxed, group_col="gid", wkb_col=None, res=1.0,
+        bounds_cols=("x0", "y0", "x1", "y1"),
     )
-    parts = vectorize.geometric_union(geo, group_col="gid", res=1.0)
     return parts.groupBy("gid").agg(
         F.count("*").cast("long").alias("n_parts"),
         F.sum("n_px").alias("union_px"),

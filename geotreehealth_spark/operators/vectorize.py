@@ -83,9 +83,10 @@ def polygonize_masks(
 def geometric_union(
     polys: DataFrame,
     group_col: str,
-    wkb_col: str = "geometry_wkb",
+    wkb_col: str | None = "geometry_wkb",
     res: float = 1.0,
     pad: float = 1.0,
+    bounds_cols: tuple[str, str, str, str] | None = None,
 ) -> DataFrame:
     """A5: per group, the union of member polygons on the group's pixel grid.
 
@@ -93,13 +94,27 @@ def geometric_union(
     connected part of the union. The grid origin snaps to res-multiples of
     the group bbox (so integer-aligned inputs are unioned EXACTLY), padded by
     `pad` on each side.
+
+    wkb_col=None + bounds_cols (r6): box members are their bounds rectangles
+    — the rings are built from the four bound columns inside the batch
+    (vertex-identical to the encoded boxes), skipping the WKB encode UDF and
+    the per-row decode, like zonal_raster_stats/pip_join's box conventions.
     """
     schema = (
         f"{group_col} string, part_idx int, n_px long, area double, geometry_wkb binary"
     )
+    if (wkb_col is None) != (bounds_cols is not None):
+        raise ValueError("pass exactly one of wkb_col / bounds_cols")
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        rings = [wkb.decode_polygon(b) for b in pdf[wkb_col]]
+        if wkb_col is None:
+            bx0, by0, bx1, by1 = (pdf[c].to_numpy(dtype=float) for c in bounds_cols)
+            rings = [
+                np.array([[a, b], [c, b], [c, d], [a, d], [a, b]])
+                for a, b, c, d in zip(bx0, by0, bx1, by1)
+            ]
+        else:
+            rings = [wkb.decode_polygon(b) for b in pdf[wkb_col]]
         mins = np.array([r.min(axis=0) for r in rings])
         maxs = np.array([r.max(axis=0) for r in rings])
         gx0 = np.floor((mins[:, 0].min() - pad) / res) * res
@@ -123,9 +138,8 @@ def geometric_union(
             out["geometry_wkb"].append(wkb.encode_polygon(p["ring"]))
         return pd.DataFrame(out)
 
-    return polys.select(group_col, wkb_col).groupBy(group_col).applyInPandas(
-        per_group, schema
-    )
+    cols = [group_col, *bounds_cols] if wkb_col is None else [group_col, wkb_col]
+    return polys.select(*cols).groupBy(group_col).applyInPandas(per_group, schema)
 
 
 def geometric_difference(
