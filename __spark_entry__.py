@@ -104,7 +104,7 @@ def q_boundary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_keep_max_dbh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9: per dup-tag keep the max-DBH stem (batch_sam.py:741)."""
-    stems = synth.stems(spark, sf_dir)
+    stems = synth.stems(spark, sf_dir).select("dup_tag", "stem_tag", "dbh", "stem_key")
     out = dedup.keep_best(stems, key="dup_tag", order_col="dbh", tie_col="stem_key")
     return out.select("dup_tag", "stem_tag", "dbh")
 
@@ -139,15 +139,23 @@ def q_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_median_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per stem_tag, crown with area closest to the group median."""
-    crowns = synth.crowns(spark, sf_dir).where(F.col("stem_tag").isNotNull())
+    # r6: slim to the (key, id, value) columns the pick uses — the full
+    # 13-column crown row otherwise rides the window shuffle and the cache
+    crowns = synth.crowns(spark, sf_dir).where(F.col("stem_tag").isNotNull()).select(
+        "stem_tag", "crown_id", "ca"
+    )
     out = aggregates.median_pick(crowns, key="stem_tag", value="ca", id_col="crown_id")
     return out.select("stem_tag", "crown_id", "ca")
 
 
 def q_zonal_lidar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: per-crown lidar point count / mean / min / max of z."""
-    crowns = synth.crowns(spark, sf_dir)
-    lidar = synth.lidar(spark, sf_dir)
+    # r6: slim both PIP-join sides to the columns the zonal agg reads — the
+    # lidar color channels and crown attributes otherwise ride the cell join
+    crowns = synth.crowns(spark, sf_dir).select(
+        "crown_id", "xmin", "ymin", "xmax", "ymax"
+    )
+    lidar = synth.lidar(spark, sf_dir).select("x", "y", "z")
     cands = pip_join.pip_join(lidar, crowns, cell_size=25.0, poly_wkb=None)
     # z is milli-quantized by construction → exact integer sum, one division
     # (summation-order-independent, so bit-identical to the oracle)
@@ -170,7 +178,9 @@ def q_zonal_lidar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotreehealth_spark import media
     from geotreehealth_spark.docs import decode, generator
 
-    crowns = synth.crowns(spark, sf_dir)
+    crowns = synth.crowns(spark, sf_dir).select(
+        "crown_id", "xmin", "ymin", "xmax", "ymax"
+    )
     docs = generator.lidar_to_docs(synth.tiles(spark, sf_dir), n_points=1000)
     pts = media.load_lidar_points(decode.decode_lidar(docs))
     cands = pip_join.pip_join(pts, crowns, cell_size=25.0, poly_wkb=None)
@@ -238,8 +248,10 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: exact rank-based CHM height percentiles per crown."""
-    crowns = synth.crowns(spark, sf_dir)
-    lidar = synth.lidar(spark, sf_dir)
+    crowns = synth.crowns(spark, sf_dir).select(
+        "crown_id", "xmin", "ymin", "xmax", "ymax"
+    )
+    lidar = synth.lidar(spark, sf_dir).select("point_id", "x", "y", "z")
     cands = pip_join.pip_join(lidar, crowns, cell_size=25.0, poly_wkb=None)
     return aggregates.rank_percentile(
         cands.select("crown_id", "z", "point_id"),
