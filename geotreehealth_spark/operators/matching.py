@@ -255,19 +255,22 @@ def random_k_sample(
     # stay live until the session-level release (bench release_caches), like
     # every checkpointed result in this engine.
     remaining = left_mat
+    from geotreehealth_spark.operators.components import _checkpoint_tracked
+
+    sc = left_mat.sparkSession.sparkContext
     parts: list[DataFrame] = []
-    checkpointed: list[DataFrame] = []
+    checkpointed_rdds: list = []
     try:
         while True:
             final = threshold >= RANDOM_K_HASH_P
-            cand = (
+            cand, created = _checkpoint_tracked(
                 enumerate_pairs(remaining)
                 .withColumn("__h", h)
                 .where(F.col("__h") < F.lit(threshold))
-                .select(left_id, right_id, "__h")
-                .localCheckpoint(eager=True)
+                .select(left_id, right_id, "__h"),
+                sc,
             )
-            checkpointed.append(cand)
+            checkpointed_rdds.extend(created)
             # >= k survivors under T ⇒ the k-th smallest (h, right_id) is
             # under T too ⇒ this probe's global top-k is fully inside `cand`
             satisfied = (
@@ -297,9 +300,11 @@ def random_k_sample(
         # r6 (ADVICE r5): a mid-loop failure must not leak the per-round
         # checkpoint blocks into a long-lived session — on success they ARE
         # the result's storage, but a raised call returns nothing that reads
-        # them, so sweep them like knn_join/connected_components do
-        for df in checkpointed:
-            df.unpersist()
+        # them. Release goes through the registry-diffed java RDD handles
+        # (components._checkpoint_tracked): the DataFrame-level unpersist is
+        # a documented no-op for localCheckpoint blocks (ADVICE r3).
+        for r in checkpointed_rdds:
+            r.unpersist()
         raise
     finally:
         # parts read only the checkpointed blocks — the input caches can go

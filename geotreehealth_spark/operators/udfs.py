@@ -63,36 +63,6 @@ def point_wkb_udf(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(wkb.encode_points(x.to_numpy(), y.to_numpy()))
 
 
-@pandas_udf(BinaryType())
-def box_wkb_udf(
-    xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
-) -> pd.Series:
-    """Axis-aligned box → WKB Polygon ring (CCW, closed).
-
-    r6: encoded as one vectorized (n, 93)-byte buffer instead of a per-row
-    python loop — same 93-byte LE layout (header <bIII 1,3,1,5> + 5 closed
-    CCW vertices) byte-for-byte; the loop cost ~3 us/row over the 600k-crown
-    zonal input."""
-    n = len(xmin)
-    x0 = xmin.to_numpy(dtype=np.float64)
-    y0 = ymin.to_numpy(dtype=np.float64)
-    x1 = xmax.to_numpy(dtype=np.float64)
-    y1 = ymax.to_numpy(dtype=np.float64)
-    buf = np.empty((n, 93), dtype=np.uint8)
-    import struct
-
-    buf[:, 0:13] = np.frombuffer(struct.pack("<bIII", 1, 3, 1, 5), dtype=np.uint8)
-    coords = np.empty((n, 10), dtype="<f8")
-    coords[:, 0], coords[:, 1] = x0, y0
-    coords[:, 2], coords[:, 3] = x1, y0
-    coords[:, 4], coords[:, 5] = x1, y1
-    coords[:, 6], coords[:, 7] = x0, y1
-    coords[:, 8], coords[:, 9] = x0, y0
-    buf[:, 13:93] = coords.view(np.uint8)
-    raw = buf.tobytes()
-    return pd.Series([raw[i * 93 : (i + 1) * 93] for i in range(n)])
-
-
 @pandas_udf(DoubleType())
 def polygon_area_udf(geom_wkb: pd.Series) -> pd.Series:
     return pd.Series([kernels.polygon_area(wkb.decode_polygon(w)) for w in geom_wkb])

@@ -177,11 +177,18 @@ def register_tpch_views(spark: SparkSession, sf_dir: str) -> None:
     footer reads + view plumbing) and ran 1-3x inside EVERY query entry. The
     memo stores no data and no results — only the view definitions — so every
     action still computes from the parquet inputs; switching sf_dir (or a new
-    session) re-registers.
+    session) re-registers, and a dropped/shadow-replaced view is detected by
+    the catalog existence check below and triggers re-registration. One
+    assumption remains (review r6): the parquet FILES under sf_dir are
+    immutable while a session lives — true for the read-only test fixtures;
+    a session whose data dir is rewritten in place must register under a new
+    path (or new session) to refresh the captured file listing.
     """
     marker = "spark.geotreehealth.tpchViewsDir"
     try:
-        if spark.conf.get(marker, None) == sf_dir:
+        if spark.conf.get(marker, None) == sf_dir and all(
+            spark.catalog.tableExists(name) for name in TPCH_TABLES
+        ):
             return
     except Exception:  # noqa: BLE001 - conf read must never break ingest
         pass

@@ -72,3 +72,47 @@ def test_threshold_path_self_exclusion_and_small_pool(spark):
         per_probe[pid] = per_probe.get(pid, 0) + 1
     assert all(n in (3, 4) for n in per_probe.values())
     assert len(per_probe) == 30
+
+
+def test_threshold_path_failure_releases_checkpoints(spark, monkeypatch):
+    # r6: a mid-escalation failure must sweep the per-round candidate
+    # checkpoint blocks (via the registry-diffed java RDD handles — the
+    # DataFrame-level unpersist is a no-op for localCheckpoint storage) AND
+    # the input caches, leaving the session's persistent-RDD registry as it
+    # was before the call.
+    from geotreehealth_spark.operators import components, matching
+
+    left = spark.range(0, 50).selectExpr(
+        "CAST(id AS STRING) AS pid", "id AS lkey"
+    )
+    # rkey strides by 2: the affine draw hash equidistributes over a dense
+    # key range (every probe would meet k in round 1), so halving the key
+    # density guarantees a shortfall and therefore a second escalation round
+    right = spark.range(0, 50_000).selectExpr(
+        "CAST(id AS STRING) AS cid", "id * 2 AS rkey"
+    )
+    calls = {"n": 0}
+    orig = components._checkpoint_tracked
+
+    def boom(df, sc):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # fail entering round 2: round-1 blocks exist
+            raise RuntimeError("injected mid-loop failure")
+        return orig(df, sc)
+
+    monkeypatch.setattr(components, "_checkpoint_tracked", boom)
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keys())
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected"):
+        # oversample=1 guarantees shortfall probes -> a second round
+        matching.random_k_sample(
+            left, right, k=5, left_id="pid", right_id="cid",
+            left_key="lkey", right_key="rkey",
+            direct_max_pairs=0, oversample=1,
+        )
+    assert calls["n"] >= 2, "escalation never reached a second round"
+    after = set(jsc.getPersistentRDDs().keys())
+    leaked = after - before
+    assert not leaked, f"leaked persistent RDDs after failure: {leaked}"
