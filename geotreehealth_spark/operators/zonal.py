@@ -117,6 +117,50 @@ def zonal_raster_stats(
         cube = media.resolve_raster(first.media_ref, bands, h, w).astype(np.float64)
         flat = cube.reshape(bands, -1)
         out = {"crown_id": [], "n_px": [], "band_sum": [], "band_sumsq": []}
+        if wkb_col is None and cb is None:
+            # batch box path (r6): every footprint is an axis-aligned box, so
+            # the per-crown selection is a contiguous (row, col) sub-rectangle.
+            # The pixel-center arrays below use the SAME per-element float
+            # expressions as rasterize_mask's rect fast path, and searchsorted
+            # encodes exactly its half-open mask (px >= x0 & px < x1;
+            # py >= y0 & py < y1 via the negated increasing axis), so the
+            # selected block — and therefore the gathered value array, its
+            # order, and the np.sum bits — is identical to the per-row path.
+            # Half-pixel margins put the box edges far from the subwindow
+            # clipping rasterize_mask applies, so the full-axis search agrees
+            # with its bbox-restricted scan.
+            px = txmin + (np.arange(w) + 0.5) * res_x
+            qy = -(tymax - (np.arange(h) + 0.5) * res_y)  # increasing
+            bx0, by0, bx1, by1 = (pdf[c].to_numpy(dtype=np.float64) for c in crown_bounds)
+            # rasterize_mask normalizes via ring.min/max — mirror it so an
+            # inverted box selects the same (possibly empty) block
+            bx0, bx1 = np.minimum(bx0, bx1), np.maximum(bx0, bx1)
+            by0, by1 = np.minimum(by0, by1), np.maximum(by0, by1)
+            ids = pdf["crown_id"].to_numpy()
+            c_lo = np.searchsorted(px, bx0, side="left")
+            c_hi = np.searchsorted(px, bx1, side="left")
+            r_lo = np.searchsorted(qy, -by1, side="right")
+            r_hi = np.searchsorted(qy, -by0, side="right")
+            n_px_all = (r_hi - r_lo) * (c_hi - c_lo)
+            for i in np.nonzero(n_px_all > 0)[0]:
+                # F-ordered (bands, n) — the LAYOUT is load-bearing: fancy
+                # indexing flat[:, idx] returns an F-contiguous array, and
+                # numpy's sum(axis=1) accumulation order depends on strides,
+                # so a C-ordered copy changes the low bits of the partials
+                block = cube[:, r_lo[i]:r_hi[i], c_lo[i]:c_hi[i]]
+                vals = np.ascontiguousarray(block.transpose(1, 2, 0)).reshape(-1, bands).T
+                out["crown_id"].append(ids[i])
+                out["n_px"].append(int(n_px_all[i]))
+                out["band_sum"].append(vals.sum(axis=1).tolist())
+                out["band_sumsq"].append((vals * vals).sum(axis=1).tolist())
+            return pd.DataFrame(
+                {
+                    "crown_id": pd.Series(out["crown_id"], dtype=object),
+                    "n_px": pd.Series(out["n_px"], dtype="int64"),
+                    "band_sum": pd.Series(out["band_sum"], dtype=object),
+                    "band_sumsq": pd.Series(out["band_sumsq"], dtype=object),
+                }
+            )
         for row in pdf.itertuples():
             if wkb_col is None:
                 x0, y0, x1, y1 = (float(getattr(row, c)) for c in crown_bounds)

@@ -100,3 +100,63 @@ def test_zonal_overlapping_tiles_exactly_once(spark):
             np.asarray(buffered.loc[cid].band_mean),
             rtol=1e-12,
         )
+
+
+def test_zonal_box_batch_parity(spark):
+    """r6 batch box path (wkb_col=None, searchsorted block selection) must be
+    BIT-identical to routing the same boxes through the WKB/rasterize path —
+    including boxes whose edges land exactly on pixel centers (half-open
+    boundary) and sub-pixel boxes that select nothing."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 400
+    # box edges: mix of off-center, exactly-on-pixel-center (k + 0.5 at 1 m
+    # res), and integer-aligned values, spanning tile boundaries
+    def coords(k):
+        kind = rng.integers(0, 3, size=k)
+        base = rng.uniform(0.0, 960.0, size=k)
+        return np.where(
+            kind == 0, base,
+            np.where(kind == 1, np.floor(base) + 0.5, np.round(base)),
+        )
+    x0 = coords(n); y0 = coords(n)
+    wd = np.concatenate([rng.uniform(0.0, 0.4, n // 4), rng.uniform(0.5, 30.0, n - n // 4)])
+    ht = np.concatenate([rng.uniform(0.0, 0.4, n // 4), rng.uniform(0.5, 30.0, n - n // 4)])
+    rng.shuffle(wd); rng.shuffle(ht)
+    x1 = x0 + wd; y1 = y0 + ht
+    pdf = pd.DataFrame(
+        {"crown_id": [f"b{i}" for i in range(n)],
+         "bxmin": x0, "bymin": y0, "bxmax": x1, "bymax": y1}
+    )
+    pdf["geometry_wkb"] = [
+        wkb.encode_polygon(np.array(
+            [[a, b], [c, b], [c, d], [a, d], [a, b]]
+        )) for a, b, c, d in zip(x0, y0, x1, y1)
+    ]
+    boxes = spark.createDataFrame(pdf)
+    # random (hsi) cubes, NOT the constant hsic ones — exactness must not
+    # depend on closed-form-friendly values
+    tiles = tiling.tile_grid(spark, extent=1000.0, tile_size=100.0, overlap=0.0).selectExpr(
+        "tile_id", "txmin", "tymin", "txmax", "tymax",
+        "concat('hsi://tile/', tile_id) AS media_ref",
+        "6 AS bands", "100 AS height", "100 AS width",
+    )
+    bounds = ("bxmin", "bymin", "bxmax", "bymax")
+    via_box = (
+        zonal.zonal_raster_stats(boxes, tiles, crown_bounds=bounds, wkb_col=None, n_bands=6)
+        .toPandas().set_index("crown_id").sort_index()
+    )
+    via_wkb = (
+        zonal.zonal_raster_stats(
+            boxes, tiles, crown_bounds=bounds, wkb_col="geometry_wkb", n_bands=6
+        )
+        .toPandas().set_index("crown_id").sort_index()
+    )
+    assert list(via_box.index) == list(via_wkb.index)
+    assert len(via_box) > 250  # the sub-pixel boxes drop out
+    assert (via_box.n_px == via_wkb.n_px).all()
+    for cid in via_box.index:
+        a, b = via_box.loc[cid], via_wkb.loc[cid]
+        assert np.asarray(a.band_mean).tobytes() == np.asarray(b.band_mean).tobytes()
+        assert np.asarray(a.band_std).tobytes() == np.asarray(b.band_std).tobytes()
