@@ -240,6 +240,37 @@ def knn_join(
             .select(*left.columns, *right.columns, "dist", "knn_rank")
         )
 
+    def win1_for(rem: DataFrame, ring: int) -> DataFrame:
+        """r6 prologue fusion for k=1 (mirrors quadrant_knn_join's win_for):
+        one winner-struct row per probe — min(struct(dist, right_id)) over
+        the phase-1 minima matches IS the rank window's (dist asc, right_id
+        asc) rn=1 pick, and the k=1 distance proof is a projection of it, so
+        the window exchange and proven_for's kth aggregation both fold into
+        this tiny SortAggregate."""
+        cands = _candidates(rem, right_cells, cell_size, ring, lx, ly, rx, ry)
+        if min_dist is not None:
+            cands = cands.where(F.col("dist") >= min_dist)
+        m = cands.groupBy(left_id).agg(F.min("dist").alias("__md"))
+        matched = cands.join(m, left_id).where(F.col("dist") == F.col("__md"))
+        return matched.groupBy(left_id).agg(
+            F.min(F.struct("dist", right_id)).alias("__w")
+        )
+
+    def proven_from_win1(rem: DataFrame, win: DataFrame, ring: int) -> DataFrame:
+        # k=1: a winner row exists iff >= 1 candidate was found, so the
+        # count>=k arm of proven_for is implied and the k-th distance IS the
+        # winner's dist
+        rcs = float(ring * cell_size)
+        covered_all = (
+            (F.lit(bx1) - F.col(lx) <= rcs)
+            & (F.col(lx) - F.lit(bx0) <= rcs)
+            & (F.lit(by1) - F.col(ly) <= rcs)
+            & (F.col(ly) - F.lit(by0) <= rcs)
+        )
+        proven_dist = win.where(F.col("__w")["dist"] < rcs).select(left_id)
+        proven_cov = rem.where(covered_all).select(left_id)
+        return proven_dist.unionByName(proven_cov).distinct()
+
     # --- fused prologue: the prologue_rings rounds composed into ONE job ---
     # Default is a SINGLE ring-1 round: at forest density the ring-1 box
     # already proves ~all probes, and the second (ring-4) round cost 5-7
@@ -261,10 +292,24 @@ def knn_join(
     last_ring, n_prologue = 1, 0
     try:
         for ring in (r for r in prologue_rings if r < max_ring):
-            ranked = ranked_for(rem, ring, final=False).persist()
-            prologue_cached.append(ranked)
-            proven = proven_for(rem, ranked, ring)
-            pieces.append(ranked.join(proven, left_id, "left_semi"))
+            if k == 1:
+                # r6 fusion — window + kth-proof agg folded into win1_for
+                win = win1_for(rem, ring).persist()
+                prologue_cached.append(win)
+                proven = proven_from_win1(rem, win, ring)
+                pieces.append(
+                    win.join(proven, left_id, "left_semi").select(
+                        left_id,
+                        F.col("__w")["dist"].alias("dist"),
+                        F.col("__w")[right_id].alias(right_id),
+                        F.lit(1).alias("knn_rank"),
+                    )
+                )
+            else:
+                ranked = ranked_for(rem, ring, final=False).persist()
+                prologue_cached.append(ranked)
+                proven = proven_for(rem, ranked, ring)
+                pieces.append(ranked.join(proven, left_id, "left_semi"))
             rem = rem.join(proven, left_id, "left_anti").persist()
             prologue_cached.append(rem)
             last_ring, n_prologue = ring, n_prologue + 1
@@ -517,13 +562,7 @@ def quadrant_knn_join(
             ]
         )
         # quadrant-region coverage: region ∩ data bounds inside the ring box
-        x, y = F.col(lx), F.col(ly)
-        cov = {
-            "NE": (F.lit(bx1) - x <= rcs) & (F.lit(by1) - y <= rcs),
-            "SE": (F.lit(bx1) - x <= rcs) & (y - F.lit(by0) <= rcs),
-            "NW": (x - F.lit(bx0) <= rcs) & (F.lit(by1) - y <= rcs),
-            "SW": (x - F.lit(bx0) <= rcs) & (y - F.lit(by0) <= rcs),
-        }
+        cov = _coverage(rcs)
         # probe-proportional sets join without a broadcast hint — AQE decides
         complete = rem.select(left_id, lx, ly).join(flags, left_id, "left")
         for q in quads:
@@ -531,6 +570,73 @@ def quadrant_knn_join(
                 (F.coalesce(F.col(f"__f_{q}"), F.lit(0)) == 1) | cov[q]
             )
         return complete.select(left_id)
+
+    def _coverage(rcs: float) -> dict:
+        x, y = F.col(lx), F.col(ly)
+        return {
+            "NE": (F.lit(bx1) - x <= rcs) & (F.lit(by1) - y <= rcs),
+            "SE": (F.lit(bx1) - x <= rcs) & (y - F.lit(by0) <= rcs),
+            "NW": (x - F.lit(bx0) <= rcs) & (F.lit(by1) - y <= rcs),
+            "SW": (x - F.lit(bx0) <= rcs) & (y - F.lit(by0) <= rcs),
+        }
+
+    def win_for(rem: DataFrame, ring: int) -> DataFrame:
+        """r6 prologue fusion: ONE row per probe with a per-quadrant winner
+        struct — min(struct(dist, right_id)) over the min-dist rows IS the
+        rank window's (dist asc, right_id asc) rn=1 pick, and the proof flag
+        is a projection of the winner's dist, so the rank-window exchange AND
+        proven_for's flag pivot collapse into this one tiny aggregation. The
+        struct-min takes the SortAggregate fallback, but its input is only
+        the phase-1 minima matches (~4 rows/probe); the full-candidate
+        struct-min that was measured window-slow in r4 stays rejected."""
+        cands = _candidates(rem, right_cells, cell_size, ring, lx, ly, rx, ry)
+        cands = cands.where(F.col("dist") >= min_dist).withColumn("quadrant", quadrant)
+        m = cands.groupBy(left_id, "quadrant").agg(F.min("dist").alias("__md"))
+        matched = cands.join(m, [left_id, "quadrant"]).where(
+            F.col("dist") == F.col("__md")
+        )
+        return matched.groupBy(left_id).agg(
+            *[
+                F.min(
+                    F.when(F.col("quadrant") == q, F.struct("dist", right_id))
+                ).alias(f"__w_{q}")
+                for q in quads
+            ]
+        )
+
+    def proven_from_win(rem: DataFrame, win: DataFrame, ring: int) -> DataFrame:
+        rcs = float(ring * cell_size)
+        cov = _coverage(rcs)
+        complete = rem.select(left_id, lx, ly).join(win, left_id, "left")
+        for q in quads:
+            complete = complete.where(
+                F.coalesce(F.col(f"__w_{q}")["dist"] < F.lit(rcs), F.lit(False))
+                | cov[q]
+            )
+        return complete.select(left_id)
+
+    def explode_win(win: DataFrame) -> DataFrame:
+        # wide winner row -> one (left_id, dist, right_id, quadrant) row per
+        # non-empty quadrant, the shape enrich() reads
+        e = win.select(
+            left_id,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("quadrant"), F.col(f"__w_{q}").alias("w")
+                        )
+                        for q in quads
+                    ]
+                )
+            ).alias("e"),
+        ).where(F.col("e.w").isNotNull())
+        return e.select(
+            left_id,
+            F.col("e.w.dist").alias("dist"),
+            F.col(f"e.w.{right_id}").alias(right_id),
+            F.col("e.quadrant").alias("quadrant"),
+        )
 
     def enrich(slim: DataFrame) -> DataFrame:
         # winners -> full output rows — see knn_join
@@ -541,17 +647,20 @@ def quadrant_knn_join(
             .select(*left.columns, *right.columns, "dist", "quadrant")
         )
 
-    # fused ring-1 + ring-4 prologue, one checkpoint job — see knn_join
+    # fused ring-1 + ring-4 prologue, one checkpoint job — see knn_join.
+    # r6 fusion: the per-ring unit is win_for's one-row-per-probe winner
+    # table — rank window + flag pivot fused into its struct-min agg; the
+    # escalation loop below keeps the best_for/proven_for machinery.
     pieces: list[DataFrame] = []
     prologue_cached: list[DataFrame] = []
     rem = left_slim
     last_ring, n_prologue = 1, 0
     try:
         for ring in (r for r in prologue_rings if r < max_ring):
-            best = best_for(rem, ring, final=False).persist()
-            prologue_cached.append(best)
-            proven = proven_for(rem, best, ring)
-            pieces.append(best.join(proven, left_id, "left_semi"))
+            win = win_for(rem, ring).persist()
+            prologue_cached.append(win)
+            proven = proven_from_win(rem, win, ring)
+            pieces.append(explode_win(win.join(proven, left_id, "left_semi")))
             rem = rem.join(proven, left_id, "left_anti").persist()
             prologue_cached.append(rem)
             last_ring, n_prologue = ring, n_prologue + 1
