@@ -200,17 +200,20 @@ def random_k_sample(
 
     Plans (identical output, cost-switched like nms/knn residues):
     - |L|·|R| <= direct_max_pairs: window rank over the enumerated product.
-    - else: the hash is evaluated INSIDE the join and only candidates with
-      h < T survive into the shuffle + per-probe sort, T sized so
-      ~oversample·k survive per probe (h is near-uniform mod p). Probes with
-      < k survivors (hash clumping) escalate T x oversample and re-scan only
-      those probes; the last escalation is T = p (full product), so the
-      result is EXACTLY the global top-k draw regardless of distribution —
-      same completeness-proof-or-escalate shape as the kNN rings. The
-      candidate side is still enumerated O(|L|·|R|) times in codegen (the
-      faithful semantics sample from ALL candidates), but the shuffled /
-      window-sorted volume drops from the full product to
-      O(oversample·k·|L|) rows, which is what breaks at scale.
+    - else: candidates with h < T survive into the shuffle + per-probe sort,
+      T sized so ~oversample·k survive per probe (h is near-uniform mod p).
+      Probes with < k survivors (hash clumping) escalate T x oversample and
+      re-scan only those probes; the last escalation is T = p (full
+      product), so the result is EXACTLY the global top-k draw regardless of
+      distribution — same completeness-proof-or-escalate shape as the kNN
+      rings. r6 (VERDICT r5 item 5): the h < T scan is no longer an
+      enumerated |L|·|R| product — the affine hash decomposes into
+      per-probe admissible rv-intervals, the right side is bucketed by
+      rv = (40503·rk) mod p once, and each round is an equi-join on the
+      bucket id touching only ~oversample·k right rows per probe, with the
+      original h < T predicate re-applied after the join (the candidate set
+      is provably the enumerated plan's). Scan, shuffle and sort volumes
+      are all O(oversample·k·|L|) per round.
     """
     lk = F.col(left_key)
     rk = F.col(right_key)
@@ -249,6 +252,60 @@ def random_k_sample(
 
     frac = min(1.0, (oversample * k) / max(n_right, 1))
     threshold = max(1, int(math.ceil(RANDOM_K_HASH_P * frac)))
+
+    # Bucketed admissible-window join (r6, VERDICT r5 item 5): the affine
+    # draw hash decomposes as h = (a + rv) mod p with a = (48271·lk) mod p
+    # and rv = (40503·rk) mod p (valid while 48271·lk / 40503·rk stay inside
+    # int64, i.e. |key| < ~1.9e14 — beyond that the ORIGINAL h expression
+    # already wraps and its documented affine semantics are void anyway).
+    # h < T therefore admits, per probe, at most TWO rv-intervals:
+    # [0, T−a) and [p−a, p−a+T) ∩ [0, p). The right side is bucketed by rv
+    # ONCE; each probe explodes to only the ~T·n_buckets/p + 2 buckets its
+    # intervals touch, and the join is a plain equi-join on the bucket id —
+    # the enumerated volume drops from |L|·|R| to ~|L|·oversample·k rows.
+    # SAFETY: bucket coverage only needs to be a SUPERSET of the admissible
+    # rows — the loop re-applies the ORIGINAL `h < T` predicate after the
+    # join, so the candidate set (and the draw) is provably identical to the
+    # enumerated plan's. The final T = p round keeps the crossJoin (every
+    # bucket would be admissible).
+    P = RANDOM_K_HASH_P
+    n_buckets = int(min(max(16, (2 * n_right) // max(k, 1)), 1_048_576))
+    bucket_w = -(-P // n_buckets)  # ceil(P / n_buckets)
+    right_b = right_mat.withColumn(
+        "__rb",
+        F.floor(F.pmod(rk * F.lit(40503), F.lit(P)) / F.lit(bucket_w)).cast("long"),
+    )
+
+    def bucketed_pairs(probes: DataFrame, t: int) -> DataFrame:
+        a = F.pmod(lk * F.lit(48271), F.lit(P))
+        hi1 = F.lit(t) - a  # exclusive end of interval 1 (start 0); may be <= 0
+        lo2 = F.lit(P) - a  # interval 2 start; empty when a == 0
+        hi2 = F.least(F.lit(P), lo2 + F.lit(t))
+        empty = F.array().cast("array<bigint>")
+        seq1 = F.when(
+            hi1 > 0,
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((hi1 - 1) / F.lit(bucket_w)).cast("long"),
+            ),
+        )
+        seq2 = F.when(
+            hi2 > lo2,
+            F.sequence(
+                F.floor(lo2 / F.lit(bucket_w)).cast("long"),
+                F.floor((hi2 - 1) / F.lit(bucket_w)).cast("long"),
+            ),
+        )
+        buckets = F.array_distinct(
+            F.flatten(F.array(F.coalesce(seq1, empty), F.coalesce(seq2, empty)))
+        )
+        # NULL-keyed probes yield a NULL bucket array → explode drops them,
+        # matching enumerate_pairs' h-notnull filter; NULL right keys get a
+        # NULL __rb and never join
+        pairs = probes.withColumn("__rb", F.explode(buckets)).join(right_b, "__rb")
+        if self_key is not None:
+            pairs = pairs.where(F.col(self_key) != rk)
+        return pairs.where(h.isNotNull())
     # the escalation loop is fully eager (checkpoint per round), so the
     # cached inputs serve its rounds and are released before returning.
     # The per-round `cand` checkpoint blocks ARE the result's storage and
@@ -263,9 +320,13 @@ def random_k_sample(
     try:
         while True:
             final = threshold >= RANDOM_K_HASH_P
-            cand, created = _checkpoint_tracked(
+            src = (
                 enumerate_pairs(remaining)
-                .withColumn("__h", h)
+                if final
+                else bucketed_pairs(remaining, threshold)
+            )
+            cand, created = _checkpoint_tracked(
+                src.withColumn("__h", h)
                 .where(F.col("__h") < F.lit(threshold))
                 .select(left_id, right_id, "__h"),
                 sc,

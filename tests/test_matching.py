@@ -116,3 +116,33 @@ def test_threshold_path_failure_releases_checkpoints(spark, monkeypatch):
     after = set(jsc.getPersistentRDDs().keys())
     leaked = after - before
     assert not leaked, f"leaked persistent RDDs after failure: {leaked}"
+
+
+def test_threshold_path_bucketed_wraparound_and_nulls(spark):
+    # r6 bucketed admissible-window join: large scattered keys make the
+    # per-probe window a = (48271*lk) mod p land anywhere in [0, p), so both
+    # the [0, T-a) and the wraparound [p-a, p-a+T) interval arms are
+    # exercised; NULL keys on either side must be undrawable in both plans.
+    left = spark.range(50).select(
+        F.concat(F.lit("p"), F.col("id")).alias("pid"),
+        F.when(F.col("id") == 49, F.lit(None)).otherwise(
+            F.col("id") * 982451653 + 7
+        ).alias("lkey"),
+    )
+    right = spark.range(300).select(
+        F.concat(F.lit("c"), F.col("id")).alias("cid"),
+        F.when(F.col("id") == 299, F.lit(None)).otherwise(
+            F.col("id") * 334214467 + 11
+        ).alias("rkey"),
+    )
+    kw = dict(k=5, left_id="pid", right_id="cid", left_key="lkey",
+              right_key="rkey")
+    direct = _rows(matching.random_k_sample(
+        left, right, direct_max_pairs=10**9, **kw))
+    assert len(direct) == 49 * 5  # the NULL-key probe draws nothing
+    thresh = _rows(matching.random_k_sample(
+        left, right, direct_max_pairs=0, **kw))
+    assert thresh == direct
+    tight = _rows(matching.random_k_sample(
+        left, right, direct_max_pairs=0, oversample=1, **kw))
+    assert tight == direct
