@@ -92,6 +92,68 @@ def _candidates(
     )
 
 
+def _dir_reach(
+    lx: str,
+    ly: str,
+    cell_size: float,
+    ring: int,
+    bounds: tuple[float, float, float, float],
+    exact: bool = True,
+) -> dict:
+    """Per-probe, per-direction guaranteed search reach of the ring-r box.
+
+    The searched cells around a probe in cell (gx, gy) cover
+    [(gx-r)*s, (gx+r+1)*s) x [(gy-r)*s, (gy+r+1)*s) — so the probe's
+    guaranteed reach is ``x - (gx-r)*s`` on the closed low edge and
+    ``(gx+r+1)*s - x`` on the open high edge of each axis: always >= r*s,
+    up to (r+1)*s. A direction whose DATA bound already lies within that
+    reach constrains nothing (no candidate can exist beyond the bound), so
+    it contributes +inf. The completeness proofs take the min over the
+    directions a result could be displaced from; using the exact per-probe
+    reach instead of the conservative r*s constant proves strictly more
+    probes at ZERO candidate cost (r6 third session) — marginal probes no
+    longer pay the escalation rare path. Soundness: an unsearched candidate
+    in direction +x has fl(rx/s) > gx+r, hence rx >= (gx+r+1)*s, hence
+    dist >= reach_xp (the same one-ULP boundary class as the constant-rcs
+    proof and the cell join itself); low edges are closed, so the
+    bound-covered arms there use <= while the open high edges use <.
+    With ``exact=False`` every reach is the constant r*s and the arms use
+    <= (the pre-r6 proof, kept as the A/B / fallback escape hatch —
+    SPARK_GRAFT_KNN_CONSERVATIVE_PROOF=1).
+
+    Proofs are performance-only: they decide which probes escalate, never
+    what a probe's winners are, so either setting yields identical results.
+    """
+    bx0, bx1, by0, by1 = bounds
+    s = float(cell_size)
+    x, y = F.col(lx), F.col(ly)
+    inf = F.lit(float("inf"))
+    if not exact:
+        rcs = F.lit(float(ring * s))
+        return {
+            "xm": F.when(x - F.lit(bx0) <= rcs, inf).otherwise(rcs),
+            "xp": F.when(F.lit(bx1) - x <= rcs, inf).otherwise(rcs),
+            "ym": F.when(y - F.lit(by0) <= rcs, inf).otherwise(rcs),
+            "yp": F.when(F.lit(by1) - y <= rcs, inf).otherwise(rcs),
+        }
+    gx = F.greatest(F.floor(x / F.lit(s)), F.lit(0)).cast("double")
+    gy = F.greatest(F.floor(y / F.lit(s)), F.lit(0)).cast("double")
+    dxm = x - (gx - ring) * F.lit(s)
+    dxp = (gx + ring + 1) * F.lit(s) - x
+    dym = y - (gy - ring) * F.lit(s)
+    dyp = (gy + ring + 1) * F.lit(s) - y
+    return {
+        "xm": F.when(x - F.lit(bx0) <= dxm, inf).otherwise(dxm),
+        "xp": F.when(F.lit(bx1) - x < dxp, inf).otherwise(dxp),
+        "ym": F.when(y - F.lit(by0) <= dym, inf).otherwise(dym),
+        "yp": F.when(F.lit(by1) - y < dyp, inf).otherwise(dyp),
+    }
+
+
+def _proof_exact() -> bool:
+    return not os.environ.get("SPARK_GRAFT_KNN_CONSERVATIVE_PROOF")
+
+
 def _cached(df: DataFrame) -> tuple[DataFrame, bool]:
     """persist df unless the CALLER already persisted it — unpersisting a
     caller's cache on exit would silently drop their working set. Returns
@@ -152,6 +214,7 @@ def knn_join(
             F.col("knn_rank") <= k
         )
     bx0, bx1, by0, by1, n_right = bounds
+    bounds_box = (bx0, bx1, by0, by1)
     if cell_size is None:
         # aim for ring-1 sufficiency: cell ~ 1.25x expected k-th radius under
         # uniform density (r3 used 2x; the tighter cell cuts the candidate
@@ -210,25 +273,30 @@ def knn_join(
         )
 
     def proven_for(rem: DataFrame, ranked: DataFrame, ring: int) -> DataFrame:
-        # completeness proofs:
-        # (a) k-th neighbor strictly inside the guaranteed ring radius, or
-        # (b) the ring box covers the whole data bounds around this probe —
-        #     whatever was found (even < k rows) is ALL there is.
-        rcs = float(ring * cell_size)
-        covered_all = (
-            (F.lit(bx1) - F.col(lx) <= rcs)
-            & (F.col(lx) - F.lit(bx0) <= rcs)
-            & (F.lit(by1) - F.col(ly) <= rcs)
-            & (F.col(ly) - F.lit(by0) <= rcs)
-        )
+        # completeness proof (unified exact-reach form, _dir_reach): D = min
+        # over the four directions of the effective reach (+inf for
+        # bound-covered directions). D == inf -> the ring box covers every
+        # possible candidate, so whatever was found (even < k rows) is ALL
+        # there is (the old coverage arm); else a k-th neighbor strictly
+        # inside D proves nothing unsearched can displace the top-k (the old
+        # distance arm, with per-probe reach instead of the r*s constant).
+        # One left join replaces the old union+distinct exchange.
+        eff = _dir_reach(lx, ly, cell_size, ring, bounds_box, _proof_exact())
+        D = F.least(eff["xm"], eff["xp"], eff["ym"], eff["yp"])
         kth = ranked.groupBy(left_id).agg(
             F.max("dist").alias("__kth"), F.count("*").alias("__n")
         )
-        proven_dist = kth.where(
-            (F.col("__n") >= k) & (F.col("__kth") < rcs)
-        ).select(left_id)
-        proven_cov = rem.where(covered_all).select(left_id)
-        return proven_dist.unionByName(proven_cov).distinct()
+        return (
+            rem.join(kth, left_id, "left")
+            .where(
+                (D == F.lit(float("inf")))
+                | (
+                    (F.coalesce(F.col("__n"), F.lit(0)) >= k)
+                    & (F.col("__kth") < D)
+                )
+            )
+            .select(left_id)
+        )
 
     def enrich(slim: DataFrame) -> DataFrame:
         # winners -> full output rows: AQE broadcasts the slim winner set and
@@ -259,17 +327,17 @@ def knn_join(
     def proven_from_win1(rem: DataFrame, win: DataFrame, ring: int) -> DataFrame:
         # k=1: a winner row exists iff >= 1 candidate was found, so the
         # count>=k arm of proven_for is implied and the k-th distance IS the
-        # winner's dist
-        rcs = float(ring * cell_size)
-        covered_all = (
-            (F.lit(bx1) - F.col(lx) <= rcs)
-            & (F.col(lx) - F.lit(bx0) <= rcs)
-            & (F.lit(by1) - F.col(ly) <= rcs)
-            & (F.col(ly) - F.lit(by0) <= rcs)
+        # winner's dist — same unified exact-reach proof as proven_for
+        eff = _dir_reach(lx, ly, cell_size, ring, bounds_box, _proof_exact())
+        D = F.least(eff["xm"], eff["xp"], eff["ym"], eff["yp"])
+        return (
+            rem.join(win, left_id, "left")
+            .where(
+                (D == F.lit(float("inf")))
+                | F.coalesce(F.col("__w")["dist"] < D, F.lit(False))
+            )
+            .select(left_id)
         )
-        proven_dist = win.where(F.col("__w")["dist"] < rcs).select(left_id)
-        proven_cov = rem.where(covered_all).select(left_id)
-        return proven_dist.unionByName(proven_cov).distinct()
 
     # --- fused prologue: the prologue_rings rounds composed into ONE job ---
     # Default is a SINGLE ring-1 round: at forest density the ring-1 box
@@ -353,7 +421,9 @@ def knn_join(
         scratch.clear()
     good = chk.where(F.col("__residue") == -1).drop("__residue")
     residue = chk.where(F.col("__residue") == 1).select(left_id, lx, ly)
+    t0 = time.time()
     n_rem = residue.count()  # reads checkpointed blocks — not a recompute
+    _trace(f"knn residue count (n_rem={n_rem})", t0)
     if n_rem == 0:
         if right_owned:
             right_mat.unpersist()
@@ -484,6 +554,7 @@ def quadrant_knn_join(
             F.col("__rn") == 1
         ).drop("__rn")
     bx0, bx1, by0, by1, n_right = bounds
+    bounds_box = (bx0, bx1, by0, by1)
     if cell_size is None:
         density = max(n_right, 1) / (extent * extent)
         # 8x mean spacing (r6, back from r4's 4x): with the single-ring
@@ -550,35 +621,61 @@ def quadrant_knn_join(
             F.col("__rn") == 1
         ).drop("__rn")
 
+    def _quad_reach(ring: int) -> dict:
+        # per-quadrant effective proof radius: min of the quadrant's two
+        # direction reaches (_dir_reach; +inf for bound-covered directions).
+        # D_q == inf -> the quadrant's region ∩ data bounds sits entirely
+        # inside the searched box (the old _coverage arm); else a winner
+        # strictly inside D_q proves nothing unsearched in that quadrant can
+        # beat it (the old dist<rcs arm, with per-probe reach).
+        #
+        # Third arm (r6 third session): a quadrant whose defining half-plane
+        # is IMPOSSIBLE given the data bounds is provably empty — e.g. the
+        # west quadrants need a candidate with cx < px, which cannot exist
+        # when px <= bx0 (every candidate has cx >= bx0). The old two-arm
+        # proof required BOTH of a quadrant's directions to be bounds-covered
+        # and so never proved e.g. the corner probe at the site origin, whose
+        # three outward quadrants are empty but unbounded along one axis —
+        # the ONE residue probe at sf0.1 that paid the whole escalation rare
+        # path (~1.3-2.3 s/call). West/south arms are strict half-planes
+        # (cx < px), east/north inclusive (cx >= px), mirroring the quadrant
+        # definition exactly.
+        eff = _dir_reach(lx, ly, cell_size, ring, bounds_box, _proof_exact())
+        inf = F.lit(float("inf"))
+        x, y = F.col(lx), F.col(ly)
+        if _proof_exact():
+            no_w = x <= F.lit(bx0)  # no candidate strictly west of the probe
+            no_e = x > F.lit(bx1)  # no candidate at-or-east of the probe
+            no_s = y <= F.lit(by0)
+            no_n = y > F.lit(by1)
+        else:
+            no_w = no_e = no_s = no_n = F.lit(False)
+        return {
+            "NE": F.when(no_e | no_n, inf).otherwise(F.least(eff["xp"], eff["yp"])),
+            "SE": F.when(no_e | no_s, inf).otherwise(F.least(eff["xp"], eff["ym"])),
+            "NW": F.when(no_w | no_n, inf).otherwise(F.least(eff["xm"], eff["yp"])),
+            "SW": F.when(no_w | no_s, inf).otherwise(F.least(eff["xm"], eff["ym"])),
+        }
+
     def proven_for(rem: DataFrame, best: DataFrame, ring: int) -> DataFrame:
-        rcs = float(ring * cell_size)
-        # per-(left, quadrant) distance proofs, pivoted to 4 flag columns
-        flags = best.groupBy(left_id).agg(
+        # per-(left, quadrant) winner distances, pivoted to 4 columns (the
+        # old flag pivot baked the conservative rcs into the aggregation;
+        # carrying the dist lets the exact-reach condition run per probe)
+        dists = best.groupBy(left_id).agg(
             *[
-                F.max(
-                    F.when((F.col("quadrant") == q) & (F.col("dist") < rcs), 1).otherwise(0)
-                ).alias(f"__f_{q}")
+                F.min(F.when(F.col("quadrant") == q, F.col("dist"))).alias(f"__d_{q}")
                 for q in quads
             ]
         )
-        # quadrant-region coverage: region ∩ data bounds inside the ring box
-        cov = _coverage(rcs)
+        Dq = _quad_reach(ring)
         # probe-proportional sets join without a broadcast hint — AQE decides
-        complete = rem.select(left_id, lx, ly).join(flags, left_id, "left")
+        complete = rem.select(left_id, lx, ly).join(dists, left_id, "left")
         for q in quads:
             complete = complete.where(
-                (F.coalesce(F.col(f"__f_{q}"), F.lit(0)) == 1) | cov[q]
+                (Dq[q] == F.lit(float("inf")))
+                | F.coalesce(F.col(f"__d_{q}") < Dq[q], F.lit(False))
             )
         return complete.select(left_id)
-
-    def _coverage(rcs: float) -> dict:
-        x, y = F.col(lx), F.col(ly)
-        return {
-            "NE": (F.lit(bx1) - x <= rcs) & (F.lit(by1) - y <= rcs),
-            "SE": (F.lit(bx1) - x <= rcs) & (y - F.lit(by0) <= rcs),
-            "NW": (x - F.lit(bx0) <= rcs) & (F.lit(by1) - y <= rcs),
-            "SW": (x - F.lit(bx0) <= rcs) & (y - F.lit(by0) <= rcs),
-        }
 
     def win_for(rem: DataFrame, ring: int) -> DataFrame:
         """r6 prologue fusion: ONE row per probe with a per-quadrant winner
@@ -605,13 +702,12 @@ def quadrant_knn_join(
         )
 
     def proven_from_win(rem: DataFrame, win: DataFrame, ring: int) -> DataFrame:
-        rcs = float(ring * cell_size)
-        cov = _coverage(rcs)
+        Dq = _quad_reach(ring)
         complete = rem.select(left_id, lx, ly).join(win, left_id, "left")
         for q in quads:
             complete = complete.where(
-                F.coalesce(F.col(f"__w_{q}")["dist"] < F.lit(rcs), F.lit(False))
-                | cov[q]
+                (Dq[q] == F.lit(float("inf")))
+                | F.coalesce(F.col(f"__w_{q}")["dist"] < Dq[q], F.lit(False))
             )
         return complete.select(left_id)
 
