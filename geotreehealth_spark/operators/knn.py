@@ -557,14 +557,18 @@ def quadrant_knn_join(
     bounds_box = (bx0, bx1, by0, by1)
     if cell_size is None:
         density = max(n_right, 1) / (extent * extent)
-        # 8x mean spacing (r6, back from r4's 4x): with the single-ring
-        # prologue the binding constraint is PROOF coverage, not fan-out — at
-        # 4x a handful of probes (4 at sf0.1) fail the ring-1 quadrant proof
-        # and pay a 4-5 s escalation round; at 8x the ring-1 box (~3 cells
-        # wide) proves everything and the whole call is one checkpoint job.
-        # Interleaved A/B at sf0.1 (tools/ab_knn.py): 8x+ring1 14.6 s vs
-        # 4x+ring2 15.9 vs 4x+ring1 ~16-20 s; identical output rows.
-        cell_size = max(min(8.0 * math.sqrt(1.0 / density), extent / 2), extent / 1024)
+        # 6x mean spacing (r6 third session, down from 8x): the binding
+        # constraint is PROOF coverage, not fan-out — at r4's 4x a handful of
+        # probes fail the ring-1 quadrant proof and pay a 4-5 s escalation
+        # round, and before the exact-reach proofs 8x was needed for full
+        # ring-1 coverage (A/B: 8x+ring1 14.6 s vs 4x+ring2 15.9 vs 4x+ring1
+        # ~16-20 s). With the exact per-probe reach + empty-quadrant arms
+        # (_dir_reach/_quad_reach) the ring-1 proof reaches 1-2 cells per
+        # direction, so the cell can shrink to 6x — ~0.56x the candidate
+        # fan-out — while the residue stays 0; at 5x the residue returns.
+        # Interleaved min-of-3 A/B at sf0.1: 6x 6.23 s vs 8x 7.39 vs 5x
+        # 7.29; 6x won every pass, identical output rows.
+        cell_size = max(min(6.0 * math.sqrt(1.0 / density), extent / 2), extent / 1024)
     # slim pipeline + winner enrichment — see knn_join
     left_mat, left_owned = _cached(left)
     left_slim = left_mat.select(left_id, lx, ly)
